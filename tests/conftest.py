@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (per the multi-chip validation
+strategy: shardings are exercised on a host-platform mesh; the same suite
+runs unchanged on real TPUs). Must set env before jax initializes.
+"""
+
+import os
+
+# Force CPU: correctness tests target the f64 parity path, and the ambient
+# environment may pre-set JAX_PLATFORMS to a TPU platform. Set
+# TPUBQ_TEST_TPU=1 to run the same suite on the real device.
+_USE_TPU = bool(os.environ.get("TPUBQ_TEST_TPU"))
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+if not _USE_TPU:
+    # The sandbox's site customization pins JAX_PLATFORMS to the TPU tunnel
+    # even when the env var is overridden, so pin via config as well.
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,236 @@
+"""BQ estimator behavior (reference: tests/test_bq.py)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import tpubq
+from tests import util as tu
+from tpubq.models import acquire, bq as bqm
+
+
+def test_init_validation():
+    x = tu.make_x()
+    with pytest.raises(ValueError):
+        tpubq.BQ(x, -tu.f_l(x))  # negative l
+    with pytest.raises(ValueError):
+        tpubq.BQ(x, np.full_like(x, np.nan))
+    with pytest.raises(ValueError):
+        tpubq.BQ(x, tu.f_l(x)[:-1])  # shape mismatch
+    with pytest.raises(ValueError):
+        tpubq.BQ(x, tu.f_l(x), bogus_option=1)
+
+
+def test_candidate_spacing():
+    bq = tu.make_bq()
+    x_c = bq.x_c[:, 0]
+    assert len(x_c) == bq.nc
+    d = np.min(np.abs(x_c[:, None] - bq.x_s[:, 0][None, :]), axis=1)
+    assert np.all(d >= bq.options.candidate_thresh)
+
+
+def test_log_transform_roundtrip():
+    bq = tu.make_bq()
+    np.testing.assert_allclose(
+        bq.tl_s, np.log1p(bq.l_s / float(bq.state.gamma)), rtol=1e-12
+    )
+
+
+def test_Z_mean_exact_vs_approx():
+    bq = tu.make_bq()
+    xo = tu.make_xo()
+    exact = bq.Z_mean()
+    approx = float(bqm.approx_Z_mean(bq.state, bq.options, xo))
+    assert abs(exact - approx) / abs(exact) < 1e-6
+
+
+def test_Z_var_exact_vs_approx():
+    bq = tu.make_bq()
+    xo = tu.make_xo()
+    exact = bq.Z_var()
+    approx = float(bqm.approx_Z_var(bq.state, bq.options, xo))
+    assert abs(exact - approx) / abs(exact) < 1e-6
+
+
+def test_Z_mean_vs_analytic_truth():
+    bq = tu.make_bq()
+    bq.fit_hypers(seed=0)
+    Z = tu.true_Z()
+    assert abs(bq.Z_mean() - Z) / Z < 5e-3  # statistical accuracy @ 10 obs
+    assert bq.Z_var() > 0
+
+
+def test_esm_exact_vs_gauss_hermite():
+    bq = tu.make_bq()
+    grid = np.linspace(-3, 3, 101)
+    exact = np.asarray(acquire.expected_squared_mean(bq.state, bq.options, grid))
+    gh = np.asarray(acquire.approx_expected_squared_mean(bq.state, bq.options, grid))
+    np.testing.assert_allclose(exact, gh, rtol=1e-8)
+
+
+def test_esm_degenerate_is_Zmean_squared():
+    bq = tu.make_bq()
+    x_dup = bq.x_s[3]  # exactly an existing observation
+    esm = bq.expected_squared_mean(float(x_dup[0]))
+    np.testing.assert_allclose(esm, bq.Z_mean() ** 2, rtol=1e-10)
+
+
+def test_expected_Z_var_identity():
+    bq = tu.make_bq()
+    grid = np.linspace(-3, 3, 31)
+    esm = bq.expected_squared_mean(grid)
+    ezv = bq.expected_Z_var(grid)
+    np.testing.assert_allclose(ezv, bq.Z_mean() ** 2 + bq.Z_var() - esm, rtol=1e-10)
+
+
+def test_choose_next_returns_grid_member():
+    bq = tu.make_bq()
+    grid = np.linspace(-3, 3, 101)
+    xn = bq.choose_next(grid)
+    assert np.any(np.isclose(grid, xn))
+
+
+def test_choose_next_marginalized():
+    bq = tu.make_bq()
+    grid = np.linspace(-3, 3, 41)
+    xn = bq.choose_next(grid, n=5, seed=3)
+    assert np.any(np.isclose(grid, xn))
+
+
+def test_add_observation():
+    bq = tu.make_bq()
+    ns0 = bq.ns
+    bq.add_observation(2.7, float(tu.f_l(2.7)))
+    assert bq.ns == ns0 + 1
+    assert np.isclose(bq.x_s[-1, 0], 2.7)
+    assert np.isclose(bq.l_s[-1], tu.f_l(2.7))
+    # tl recomputed, GPs refit, estimates finite
+    assert np.isfinite(bq.Z_mean()) and np.isfinite(bq.Z_var())
+
+
+def test_add_observation_rejects_duplicates_and_bad_l():
+    bq = tu.make_bq()
+    with pytest.raises(ValueError):
+        bq.add_observation(float(bq.x_s[0, 0]), 0.5)
+    with pytest.raises(ValueError):
+        bq.add_observation(3.0, -1.0)
+
+
+def test_add_observation_grows_capacity():
+    bq = tu.make_bq(n=10, max_obs=11)
+    bq.add_observation(2.5, float(tu.f_l(2.5)))
+    bq.add_observation(2.6, float(tu.f_l(2.6)))  # exceeds max_obs=11 → grow
+    assert bq.ns == 12
+    assert bq.options.max_obs == 22
+    assert np.isfinite(bq.Z_mean())
+
+
+def test_active_loop_reduces_variance():
+    bq = tu.make_bq()
+    v0 = bq.Z_var()
+    grid = np.linspace(-4, 4, 81)
+    for _ in range(3):
+        xn = bq.choose_next(grid)
+        bq.add_observation(xn, float(tu.f_l(xn)))
+    assert bq.Z_var() < v0
+    Z = tu.true_Z()
+    assert abs(bq.Z_mean() - Z) / Z < 2e-2
+
+
+def test_scan_active_loop():
+    import jax.numpy as jnp
+    from scipy import stats
+
+    bq = tu.make_bq()
+
+    def loglik(x):
+        s2 = tu.SIG_L**2
+        return jnp.exp(-0.5 * (x[0] - tu.MU_L) ** 2 / s2) / jnp.sqrt(2 * jnp.pi * s2)
+
+    grid = np.linspace(-4, 4, 81)
+    st, (xs, zms, zvs) = acquire.run_active_loop(
+        bq.state, bq.options, loglik, jnp.asarray(grid)[:, None], 3
+    )
+    assert np.all(np.isfinite(np.asarray(zms)))
+    assert int(st.ns) == bq.ns + 3
+
+
+def test_save_load_roundtrip(tmp_path):
+    bq = tu.make_bq()
+    bq.fit_hypers(seed=0)
+    f = tmp_path / "bq.npz"
+    bq.save(f)
+    with pytest.raises(IOError):
+        bq.save(f)  # no force
+    bq.save(f, force=True)
+    bq2 = tpubq.BQ.load(f)
+    np.testing.assert_allclose(bq2.x_s, bq.x_s)
+    np.testing.assert_allclose(bq2.l_s, bq.l_s)
+    assert abs(bq2.Z_mean() - bq.Z_mean()) < 1e-12
+    assert abs(bq2.Z_var() - bq.Z_var()) < 1e-12
+
+
+def test_marginalize_shapes_and_consistency():
+    bq = tu.make_bq()
+    zm, zv = bq.marginalize(n=8, seed=2)
+    assert zm.shape == (8,) and zv.shape == (8,)
+    assert np.all(np.isfinite(zm)) and np.all(np.isfinite(zv))
+    Z = tu.true_Z()
+    assert abs(zm.mean() - Z) / Z < 5e-2
+
+
+def test_marginalize_matches_sequential():
+    """The vmapped batched-Cholesky pipeline must equal a per-sample loop."""
+    from tpubq.models import marginalize as margm
+
+    bq = tu.make_bq()
+    thetas = bq.sample_hypers(4, seed=7)
+    import jax.numpy as jnp
+
+    zm_b, zv_b = margm.marginalize(bq.state, bq.options, jnp.asarray(thetas))
+    for i, th in enumerate(thetas):
+        st = bqm.set_params(bq.state, bq.options, theta_tl=th)
+        np.testing.assert_allclose(float(bqm.Z_mean(st, bq.options)), zm_b[i], rtol=1e-10)
+        np.testing.assert_allclose(float(bqm.Z_var(st, bq.options)), zv_b[i], rtol=1e-10)
+
+
+def test_plotting_smoke():
+    bq = tu.make_bq()
+    bq.plot(f_l=tu.f_l)
+    bq.plot_gp_log_l(f_l=tu.f_l)
+    bq.plot_gp_l(f_l=tu.f_l)
+    bq.plot_l(f_l=tu.f_l)
+    bq.plot_expected_squared_mean()
+    bq.plot_expected_variance()
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_float32_mode_runs():
+    bq = tu.make_bq(dtype="float32")
+    assert np.isfinite(bq.Z_mean())
+    grid = np.linspace(-3, 3, 64).astype(np.float32)
+    esm = bq.expected_squared_mean(grid)
+    assert np.all(np.isfinite(esm))
+
+
+def test_Z_var_gh_matches_exact_in_f64():
+    bq = tu.make_bq()
+    e = float(bqm.Z_var_exact(bq.state, bq.options))
+    g = float(bqm.Z_var_gh(bq.state, bq.options))
+    assert abs(e - g) / abs(e) < 1e-6
+
+
+def test_Z_var_f32_positive_and_accurate():
+    """f32 dispatches to the GH-stabilized path; the closed form cancels
+    catastrophically in f32 (observed negative on TPU hardware)."""
+    bq64 = tu.make_bq()
+    bq32 = tu.make_bq(dtype="float32")
+    v32 = bq32.Z_var()
+    v64 = bq64.Z_var()
+    assert v32 >= 0.0
+    assert abs(v32 - v64) / abs(v64) < 5e-2

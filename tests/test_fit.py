@@ -1,0 +1,44 @@
+"""Hyperparameter fitting (vmapped multi-restart L-BFGS)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests import util as tu
+from tpubq.models import fit as fitm, gp as gpm
+from tpubq.ops.kernels import get_kernel
+
+KFN, _ = get_kernel("gaussian")
+
+
+def test_fit_improves_mll():
+    rng = np.random.RandomState(3)
+    x = np.sort(rng.uniform(-3, 3, 14))[:, None]
+    h_true, w_true, s = 1.5, 0.7, 0.05
+    K = h_true**2 * np.exp(-0.5 * (x - x.T) ** 2 / w_true**2) + s**2 * np.eye(14)
+    y = np.linalg.cholesky(K) @ rng.randn(14)
+    xp, yp = jnp.asarray(x), jnp.asarray(y)
+    mask = jnp.ones(14, bool)
+
+    theta0 = jnp.asarray([0.3, 2.5])
+    mll0 = float(gpm.log_mll(KFN, theta0, s, xp, yp, mask))
+    theta, mll = fitm.fit_params("gaussian", theta0, s, xp, yp, mask, jax.random.PRNGKey(0))
+    assert float(mll) > mll0
+    # recovered scales in a sane range around truth
+    assert 0.2 < float(theta[1]) < 2.5
+    assert np.all(np.asarray(theta) > 0)
+
+
+def test_fit_hypers_end_to_end_improves_accuracy():
+    bq = tu.make_bq()
+    bq.fit_hypers(seed=0)
+    Z = tu.true_Z()
+    assert abs(bq.Z_mean() - Z) / Z < 5e-3
+
+
+def test_fit_deterministic_given_seed():
+    bq1 = tu.make_bq().fit_hypers(seed=5)
+    bq2 = tu.make_bq().fit_hypers(seed=5)
+    np.testing.assert_allclose(
+        np.asarray(bq1.gp_log_l.theta), np.asarray(bq2.gp_log_l.theta), rtol=1e-12
+    )

@@ -1,0 +1,219 @@
+"""Closed-form integral family vs quadrature (reference: tests/test_bq_c.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.integrate as si
+
+from tpubq.ops import integrals as igr
+from tpubq.ops import linalg
+from tpubq.ops.kernels import gaussian_K, get_kernel, periodic_K
+
+H1, W1 = 0.8, 0.7
+H2, W2 = 1.3, 0.4
+MU = np.array([0.3])
+SIG = np.array([[0.9]])
+RNG = np.random.RandomState(9)
+X1 = RNG.randn(4, 1)
+X2 = RNG.randn(3, 1)
+
+
+def k(h, w, a, b):
+    return h**2 * np.exp(-0.5 * (a - b) ** 2 / w**2)
+
+
+def p(x):
+    return np.exp(-0.5 * (x - MU[0]) ** 2 / SIG[0, 0]) / np.sqrt(2 * np.pi * SIG[0, 0])
+
+
+def _j(x):
+    return jnp.asarray(x, jnp.float64)
+
+
+def test_int_K_vs_quad():
+    got = np.asarray(igr.int_K(_j(X1), H1, _j([W1]), _j(MU), _j(SIG)))
+    want = [si.quad(lambda x, xi=xi: k(H1, W1, x, xi[0]) * p(x), -20, 20)[0] for xi in X1]
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_int_int_K_vs_quad():
+    got = float(igr.int_int_K(1, H1, _j([W1]), _j(MU), _j(SIG)))
+    want = si.dblquad(lambda y, x: k(H1, W1, x, y) * p(x) * p(y), -15, 15, -15, 15)[0]
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_int_K1_K2_vs_quad():
+    got = np.asarray(
+        igr.int_K1_K2(_j(X1), _j(X2), H1, _j([W1]), H2, _j([W2]), _j(MU), _j(SIG))
+    )
+    want = np.array(
+        [
+            [
+                si.quad(lambda x, a=a, b=b: k(H1, W1, a[0], x) * k(H2, W2, x, b[0]) * p(x), -20, 20)[0]
+                for b in X2
+            ]
+            for a in X1
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_int_int_K1_K2_vs_quad():
+    got = np.asarray(
+        igr.int_int_K1_K2(_j(X1), _j(X2), H1, _j([W1]), H2, _j([W2]), _j(MU), _j(SIG))
+    )
+    want = np.array(
+        [
+            [
+                si.dblquad(
+                    lambda y, x, a=a, b=b: k(H1, W1, a[0], x)
+                    * k(H2, W2, x, y)
+                    * k(H1, W1, y, b[0])
+                    * p(x)
+                    * p(y),
+                    -12,
+                    12,
+                    -12,
+                    12,
+                )[0]
+                for b in X2
+            ]
+            for a in X1
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_int_K1_int_K2_vs_quad():
+    got = np.asarray(igr.int_K1_int_K2(_j(X1), H1, _j([W1]), H2, _j([W2]), _j(MU), _j(SIG)))
+    want = np.array(
+        [
+            si.dblquad(
+                lambda y, x, a=a: k(H1, W1, a[0], x) * k(H2, W2, x, y) * p(x) * p(y),
+                -12,
+                12,
+                -12,
+                12,
+            )[0]
+            for a in X1
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_approx_twins_match_exact():
+    """The in-package quadrature twins reproduce the closed forms (this is the
+    validation pattern the TPU paths rely on; reference test_bq_c.py)."""
+    xo = _j(np.linspace(-10, 10, 8001))
+    w1 = _j([W1])
+    w2 = _j([W2])
+    a = igr.approx_int_K(gaussian_K, _j([H1, W1]), _j(X1), xo, _j(MU), _j(SIG))
+    e = igr.int_K(_j(X1), H1, w1, _j(MU), _j(SIG))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-6)
+
+    a = igr.approx_int_int_K(gaussian_K, _j([H1, W1]), xo, _j(MU), _j(SIG))
+    e = igr.int_int_K(1, H1, w1, _j(MU), _j(SIG))
+    np.testing.assert_allclose(float(a), float(e), rtol=1e-6)
+
+    a = igr.approx_int_K1_K2(
+        gaussian_K, gaussian_K, _j([H1, W1]), _j([H2, W2]), _j(X1), _j(X2), xo, _j(MU), _j(SIG)
+    )
+    e = igr.int_K1_K2(_j(X1), _j(X2), H1, w1, H2, w2, _j(MU), _j(SIG))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-6)
+
+    a = igr.approx_int_int_K1_K2(
+        gaussian_K, gaussian_K, _j([H1, W1]), _j([H2, W2]), _j(X1), _j(X2), xo, _j(MU), _j(SIG)
+    )
+    e = igr.int_int_K1_K2(_j(X1), _j(X2), H1, w1, H2, w2, _j(MU), _j(SIG))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-6)
+
+    a = igr.approx_int_K1_int_K2(
+        gaussian_K, gaussian_K, _j([H1, W1]), _j([H2, W2]), _j(X1), xo, _j(MU), _j(SIG)
+    )
+    e = igr.int_K1_int_K2(_j(X1), H1, w1, H2, w2, _j(MU), _j(SIG))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-6)
+
+
+def test_multidim_int_K():
+    """General-d closed form agrees with 2-D Monte Carlo-free nested quad."""
+    mu = np.array([0.1, -0.2])
+    Sig = np.array([[0.8, 0.2], [0.2, 0.5]])
+    w = np.array([0.6, 0.9])
+    x = RNG.randn(3, 2)
+    got = np.asarray(igr.int_K(_j(x), H1, _j(w), _j(mu), _j(Sig)))
+
+    from scipy import stats
+
+    def integrand(y1, y2, xi):
+        y = np.array([y1, y2])
+        kv = H1**2 * np.exp(-0.5 * np.sum((y - xi) ** 2 / w**2))
+        return kv * stats.multivariate_normal.pdf(y, mu, Sig)
+
+    want = [
+        si.dblquad(lambda a, b, xi=xi: integrand(a, b, xi), -8, 8, -8, 8)[0] for xi in x
+    ]
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+# ---------------------------------------------------------------------- linalg
+
+
+def test_pad_gram_cholesky_matches_submatrix():
+    n, n_live = 12, 7
+    A = RNG.randn(n_live, n_live)
+    K_live = A @ A.T + n_live * np.eye(n_live)
+    # interleave pads
+    idx = np.sort(RNG.choice(n, n_live, replace=False))
+    K = np.zeros((n, n))
+    K[np.ix_(idx, idx)] = K_live
+    mask = np.zeros(n, bool)
+    mask[idx] = True
+    L = np.asarray(linalg.cholesky_fixed(_j(K), jnp.asarray(mask), 0.0))
+    np.testing.assert_allclose(L[np.ix_(idx, idx)], np.linalg.cholesky(K_live), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(linalg.masked_logdet(_j(L), jnp.asarray(mask))),
+        np.linalg.slogdet(K_live)[1],
+        rtol=1e-12,
+    )
+
+
+def test_jitter_ladder_rescues_singular():
+    """Near-singular Gram factors after escalation — the functional analogue of
+    bq_c.pyx::improve_covariance_conditioning."""
+    x = np.array([[0.0], [1e-9], [1.0]])
+    K = np.asarray(gaussian_K(_j([1.0, 1.0]), _j(x), _j(x)))
+    mask = jnp.ones(3, bool)
+    L0 = np.asarray(jnp.linalg.cholesky(_j(K)))
+    assert not np.all(np.isfinite(L0))  # sanity: plain chol fails
+    L, jit_used, ok = linalg.jitter_cholesky(_j(K), mask)
+    assert bool(ok)
+    assert np.all(np.isfinite(np.asarray(L)))
+    assert float(jit_used) > 0
+
+
+def test_batched_cholesky_vmap():
+    Ks, masks = [], []
+    for _ in range(5):
+        A = RNG.randn(6, 6)
+        Ks.append(A @ A.T + 6 * np.eye(6))
+        masks.append(np.ones(6, bool))
+    Ls = np.asarray(linalg.batched_cholesky(_j(np.stack(Ks)), jnp.asarray(np.stack(masks))))
+    for K, L in zip(Ks, Ls):
+        np.testing.assert_allclose(L, np.linalg.cholesky(K + 1e-12 * np.trace(K) / 6 * np.eye(6)), rtol=1e-6)
+
+
+def test_periodic_kernel_eval():
+    kfn, kdiag = get_kernel("periodic")
+    theta = _j([1.2, 0.7, 1.0])
+    x = _j(RNG.randn(5, 1))
+    K = np.asarray(kfn(theta, x, x))
+    want = 1.2**2 * np.exp(
+        -2 * np.sin((np.asarray(x) - np.asarray(x).T) / 2.0) ** 2 / 0.7**2
+    )
+    np.testing.assert_allclose(K, want, rtol=1e-12)
+    np.testing.assert_allclose(np.diag(K), np.asarray(kdiag(theta, x)), rtol=1e-12)
+
+
+def test_get_kernel_unknown():
+    with pytest.raises(ValueError):
+        get_kernel("matern")

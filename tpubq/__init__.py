@@ -1,0 +1,43 @@
+"""tpubq — TPU-native Bayesian Quadrature.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+``jhamrick/bayesian-quadrature`` (reference: ``bayesian_quadrature/bq.py::BQ``):
+an Osborne-style Bayesian Quadrature estimator that places a Gaussian process
+on the *log*-likelihood, linearizes the exp-transform, and estimates the
+evidence integral ``Z = ∫ ℓ(x) N(x | x_mean, x_var) dx`` with closed-form
+mean and variance, driving active sampling by expected-squared-mean scoring.
+
+Unlike the reference (Python + Cython, sequential CPU loops), every numeric
+path here is a batched XLA program: candidate scoring is one fused dispatch
+over the whole grid, hyperparameter restarts and marginalization samples run
+as batched Cholesky pipelines, and the hot kernels (Gram construction,
+blocked Cholesky, fused MLL+gradient) have Pallas TPU implementations.
+
+Precision note: the correctness targets (1e-6 relative error of E[Z]/V[Z]
+against closed forms) require float64, so x64 is enabled at import. TPU hot
+paths may still run float32/bfloat16 by passing ``dtype`` options.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+# TPU matmuls default to bf16 passes; this workload's matmuls are tiny
+# (Grams of a few hundred rows — MXU time is negligible) while its numerics
+# hinge on cancellation (posterior covariances, Schur complements), so pin
+# full-precision accumulation globally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from tpubq.utils.options import BQOptions
+
+__version__ = "0.1.0"
+__all__ = ["BQ", "BQOptions", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy: the BQ class pulls in fit/acquire/marginalize; keep `import tpubq`
+    # light so ops-only users (and the Pallas kernels) import fast.
+    if name == "BQ":
+        from tpubq.models.api import BQ
+
+        return BQ
+    raise AttributeError(f"module 'tpubq' has no attribute {name!r}")

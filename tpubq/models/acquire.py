@@ -1,0 +1,232 @@
+"""Active sampling: expected squared mean, choose_next, add_observation.
+
+Reference parity: ``bayesian_quadrature/bq.py::BQ.expected_squared_mean`` /
+``expected_Z_var`` / ``choose_next`` / ``add_observation`` (scoring kernel in
+``bq_c.pyx::expected_squared_mean``). The reference scores a 1e4-point grid
+with a Python loop over candidates *inside* a loop over hyperparameter
+samples; here the whole (samples × candidates) block is one fused XLA
+program: candidate scoring is plain batched linear algebra (MXU matmuls +
+VPU elementwise) and the hyper axis is ``vmap``ed over a batched-Cholesky
+pipeline. That is the >100× headline path of BASELINE.json.
+
+Math. For a hypothetical new observation ℓ_a at x_a, with the linear GP's
+partitioned Gram [[K, k], [kᵀ, κ]], Schur complement γ_s = κ − kᵀK⁻¹k, and
+z = int_K(x_sc), ζ = int_K(x_a):
+
+    E[Z | ℓ_a] = zᵀα + B (ℓ_a − kᵀα),   B = (ζ − zᵀK⁻¹k) / γ_s
+
+is affine in ℓ_a, and under the log-GP posterior tl_a ~ N(m_a, c_a) with
+ℓ = γ(e^{tl} − 1) the exact lognormal moments give
+
+    ESM(x_a) = E[(E[Z|ℓ_a])²] = A² + 2AB·E[ℓ_a] + B²·E[ℓ_a²],
+    A = zᵀα − B kᵀα,
+    E[ℓ_a]  = γ(e^{m_a + c_a/2} − 1),
+    E[ℓ_a²] = γ²(e^{2 m_a + 2 c_a} − 2 e^{m_a + c_a/2} + 1).
+
+Degenerate x_a (within candidate_thresh of an existing point, or γ_s ≈ 0)
+short-circuit to Z_mean² — adding an observation you already have cannot
+move the mean (reference: the degenerate check in expected_squared_mean).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpubq.models import gp as gpm
+from tpubq.models.bq import BQState, Z_mean, Z_var, _fit_gps, _theta_hw, log_transform
+from tpubq.ops import integrals as igr
+from tpubq.ops import linalg
+from tpubq.ops.kernels import get_kernel
+from tpubq.utils.options import BQOptions
+
+__all__ = [
+    "expected_squared_mean",
+    "approx_expected_squared_mean",
+    "expected_Z_var",
+    "choose_next",
+    "add_observation",
+    "run_active_loop",
+]
+
+
+def _safe_exp(x):
+    cap = 0.5 * jnp.log(jnp.finfo(x.dtype).max)
+    return jnp.exp(jnp.minimum(x, cap))
+
+
+def _lognormal_moments(m, c, gamma):
+    """First two moments of ℓ = γ(e^t − 1), t ~ N(m, c)."""
+    e1 = _safe_exp(m + 0.5 * c)
+    e2 = _safe_exp(2.0 * m + 2.0 * c)
+    E1 = gamma * (e1 - 1.0)
+    E2 = gamma * gamma * (e2 - 2.0 * e1 + 1.0)
+    return E1, E2
+
+
+def expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
+    """ESM scores for a batch of hypothetical locations x_a: (na, d) → (na,)."""
+    kfn, kdiagfn = get_kernel(opts.kernel)
+    dtype = state.x_s.dtype
+    x_a = jnp.asarray(x_a, dtype)
+    if x_a.ndim == 1:
+        x_a = x_a[:, None]
+    mu, Sig = state.x_mean, state.x_var
+    h_l, w_l = _theta_hw(state.gp_l.theta)
+    m_sc = state.sc_mask
+    gp_l = state.gp_l
+    alpha = gp_l.alpha
+
+    # z = ∫ k_l(x', x_sc) p dx', ζ = ∫ k_l(x', x_a) p dx'
+    z = igr.int_K(state.x_sc, h_l, w_l, mu, Sig) * m_sc.astype(dtype)
+    zeta = igr.int_K(x_a, h_l, w_l, mu, Sig)
+    zTalpha = jnp.dot(z, alpha)
+
+    # Batched rank-1 Schur pieces over the candidate axis.
+    k_a = kfn(gp_l.theta, state.x_sc, x_a) * m_sc.astype(dtype)[:, None]  # (nsc, na)
+    v = linalg.chol_solve(gp_l.L, k_a)  # K^{-1} k_a, (nsc, na)
+    kappa = kdiagfn(gp_l.theta, x_a) + gp_l.s * gp_l.s + gp_l.jitter
+    gam_s = kappa - jnp.sum(k_a * v, axis=0)  # (na,)
+
+    # Degenerate guard: too close to a live point, or non-PD Schur.
+    dist = jnp.max(jnp.abs(x_a[:, None, :] - state.x_sc[None, :, :]), axis=-1)
+    too_close = jnp.any(jnp.logical_and(dist < opts.candidate_thresh, m_sc[None, :]), axis=1)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    degenerate = jnp.logical_or(too_close, gam_s <= eps * kappa)
+    safe_gam = jnp.where(degenerate, 1.0, gam_s)
+
+    B = (zeta - z @ v) / safe_gam  # (na,)
+    A = zTalpha - B * (k_a.T @ alpha)  # (na,)
+
+    m_a = gpm.gp_mean(kfn, state.gp_log_l, x_a)
+    c_a = jnp.maximum(gpm.gp_var(kfn, kdiagfn, state.gp_log_l, x_a), 0.0)
+    E1, E2 = _lognormal_moments(m_a, c_a, state.gamma)
+
+    esm = A * A + 2.0 * A * B * E1 + B * B * E2
+    return jnp.where(degenerate, zTalpha * zTalpha, esm)
+
+
+def approx_expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
+    """Gauss–Hermite twin of ESM: numerically integrate (A + B ℓ_a)² over
+    tl_a ~ N(m_a, c_a) — validates the lognormal-moment closed form
+    (mirrors the reference's approx_* cross-checks in tests/test_bq.py)."""
+    import numpy as np
+
+    kfn, kdiagfn = get_kernel(opts.kernel)
+    dtype = state.x_s.dtype
+    x_a = jnp.asarray(x_a, dtype)
+    if x_a.ndim == 1:
+        x_a = x_a[:, None]
+    gh_x, gh_w = np.polynomial.hermite_e.hermegauss(opts.n_gh)
+    gh_x = jnp.asarray(gh_x, dtype)
+    gh_w = jnp.asarray(gh_w / np.sqrt(2.0 * np.pi), dtype)
+
+    mu, Sig = state.x_mean, state.x_var
+    h_l, w_l = _theta_hw(state.gp_l.theta)
+    m_sc = state.sc_mask
+    gp_l = state.gp_l
+    alpha = gp_l.alpha
+    z = igr.int_K(state.x_sc, h_l, w_l, mu, Sig) * m_sc.astype(dtype)
+    zeta = igr.int_K(x_a, h_l, w_l, mu, Sig)
+    zTalpha = jnp.dot(z, alpha)
+    k_a = kfn(gp_l.theta, state.x_sc, x_a) * m_sc.astype(dtype)[:, None]
+    v = linalg.chol_solve(gp_l.L, k_a)
+    kappa = kdiagfn(gp_l.theta, x_a) + gp_l.s * gp_l.s + gp_l.jitter
+    gam_s = kappa - jnp.sum(k_a * v, axis=0)
+    dist = jnp.max(jnp.abs(x_a[:, None, :] - state.x_sc[None, :, :]), axis=-1)
+    too_close = jnp.any(jnp.logical_and(dist < opts.candidate_thresh, m_sc[None, :]), axis=1)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    degenerate = jnp.logical_or(too_close, gam_s <= eps * kappa)
+    safe_gam = jnp.where(degenerate, 1.0, gam_s)
+    B = (zeta - z @ v) / safe_gam
+    A = zTalpha - B * (k_a.T @ alpha)
+    m_a = gpm.gp_mean(kfn, state.gp_log_l, x_a)
+    c_a = jnp.maximum(gpm.gp_var(kfn, kdiagfn, state.gp_log_l, x_a), 0.0)
+    # tl nodes: (na, n_gh)
+    t = m_a[:, None] + jnp.sqrt(c_a)[:, None] * gh_x[None, :]
+    l_nodes = state.gamma * jnp.expm1(t)
+    vals = (A[:, None] + B[:, None] * l_nodes) ** 2
+    esm = vals @ gh_w
+    return jnp.where(degenerate, zTalpha * zTalpha, esm)
+
+
+def expected_Z_var(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
+    """E[V[Z] after sampling at x_a] = Z_mean² + Z_var − ESM(x_a)
+    (bq.py::BQ.expected_Z_var)."""
+    zm = Z_mean(state, opts)
+    zv = Z_var(state, opts)
+    return zm * zm + zv - expected_squared_mean(state, opts, x_a)
+
+
+def _esm_given_theta(state: BQState, opts: BQOptions, theta_tl, x_a):
+    """Re-anchor under hyper sample θ_tl, then score — vmapped by choose_next."""
+    gp_tl = state.gp_log_l._replace(theta=theta_tl)
+    st = _fit_gps(state._replace(gp_log_l=gp_tl), opts, ladder=True)
+    return expected_squared_mean(st, opts, x_a)
+
+
+def choose_next(
+    state: BQState,
+    opts: BQOptions,
+    x_a,
+    hyper_samples=None,
+):
+    """argmax of (hyper-marginalized) ESM over the grid (bq.py::BQ.choose_next).
+
+    ``hyper_samples``: optional (n, p) θ_tl draws (see
+    tpubq.models.marginalize.sample_hypers). The (samples × grid) block runs
+    as one vmapped dispatch — the reference's double Python loop collapses to
+    a single XLA program. Returns (x_best, scores).
+    """
+    dtype = state.x_s.dtype
+    x_a = jnp.asarray(x_a, dtype)
+    if x_a.ndim == 1:
+        x_a = x_a[:, None]
+    if hyper_samples is None:
+        scores = expected_squared_mean(state, opts, x_a)
+    else:
+        per = jax.vmap(lambda th: _esm_given_theta(state, opts, th, x_a))(hyper_samples)
+        scores = jnp.mean(per, axis=0)
+    best = jnp.argmax(scores)
+    return x_a[best], scores
+
+
+def add_observation(state: BQState, opts: BQOptions, x_a, l_a) -> BQState:
+    """Append an observation and refit both GPs (bq.py::BQ.add_observation).
+
+    Static shapes: writes into the padded slot at index ``ns`` and flips its
+    mask bit; no recompilation. Capacity overflow is checked by the BQ
+    wrapper (cannot raise under jit); at capacity this overwrites the last
+    slot, so callers must grow ``max_obs`` first.
+    """
+    dtype = state.x_s.dtype
+    x_a = jnp.asarray(x_a, dtype).reshape((state.x_s.shape[1],))
+    l_a = jnp.asarray(l_a, dtype).reshape(())
+    i = jnp.minimum(state.ns, opts.max_obs - 1)
+    st = state._replace(
+        x_s=state.x_s.at[i].set(x_a),
+        l_s=state.l_s.at[i].set(l_a),
+        obs_mask=state.obs_mask.at[i].set(True),
+        ns=jnp.minimum(state.ns + 1, opts.max_obs),
+    )
+    return _fit_gps(st, opts, ladder=True)
+
+
+@partial(jax.jit, static_argnames=("opts", "loglik_fn", "n_steps"))
+def run_active_loop(state: BQState, opts: BQOptions, loglik_fn, x_grid, n_steps: int):
+    """Closed active-sampling loop as ``lax.scan`` (the reference's outer
+    choose → evaluate → add loop, bq.py usage pattern; here the likelihood
+    must be a jittable callable so the whole loop stays on-device).
+
+    Returns (final_state, per-step (x_next, Z_mean, Z_var)).
+    """
+
+    def step(st, _):
+        x_next, _scores = choose_next(st, opts, x_grid)
+        l_next = loglik_fn(x_next)
+        st = add_observation(st, opts, x_next, l_next)
+        return st, (x_next, Z_mean(st, opts), Z_var(st, opts))
+
+    return jax.lax.scan(step, state, None, length=n_steps)

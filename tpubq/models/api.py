@@ -1,0 +1,367 @@
+"""The user-facing BQ class — reference-parity stateful API.
+
+Reference parity: ``bayesian_quadrature/bq.py::BQ``. This class is a thin
+stateful shell over the functional core: it owns a ``BQState`` pytree plus a
+``BQOptions`` static config, and every method dispatches to a jitted pure
+function (compiled once per options/shape signature). Method names, argument
+conventions, and semantics follow the reference; ``fit`` and ``fit_hypers``
+are both exposed (BASELINE.json pins ``fit``; the upstream spelling is
+``fit_hypers``).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpubq.models import acquire, bq as bqm, fit as fitm, marginalize as margm
+from tpubq.utils.options import BQOptions
+
+logger = logging.getLogger("tpubq")
+
+_OPTION_KEYS = (
+    "n_candidate",
+    "candidate_thresh",
+    "max_obs",
+    "dim",
+    "kernel",
+    "dtype",
+    "base_jitter",
+    "use_pallas",
+    "n_gh",
+)
+
+# Module-level jitted entry points, compiled once per (options, shape) pair.
+_z_mean = jax.jit(bqm.Z_mean, static_argnums=1)
+_z_var = jax.jit(bqm.Z_var, static_argnums=1)
+_esm = jax.jit(acquire.expected_squared_mean, static_argnums=1)
+_ezv = jax.jit(acquire.expected_Z_var, static_argnums=1)
+_choose = jax.jit(acquire.choose_next, static_argnums=1)
+_add_obs = jax.jit(acquire.add_observation, static_argnums=1)
+_set_params = jax.jit(bqm.set_params, static_argnums=(1,))
+
+
+class BQ:
+    """Osborne-style Bayesian Quadrature estimator (bq.py::BQ parity).
+
+    Estimates Z = ∫ ℓ(x) N(x | x_mean, x_var) dx from observations
+    ``(x, l)`` of a positive likelihood function, by modelling log ℓ with a
+    GP and linearizing the exp-transform.
+
+    Example:
+        bq = BQ(x, l, n_candidate=10, candidate_thresh=0.5, x_mean=0., x_var=1.)
+        bq.init(params_tl=(1., 1.), params_l=(0.3, 0.4))
+        bq.fit_hypers()
+        E, V = bq.Z_mean(), bq.Z_var()
+        x_next = bq.choose_next(grid, n=10)
+        bq.add_observation(x_next, l(x_next))
+    """
+
+    def __init__(self, x, l, **options):
+        x = np.asarray(x)
+        if x.ndim == 1:
+            x = x[:, None]
+        l = np.asarray(l)
+        if np.any(~np.isfinite(l)) or np.any(l <= 0):
+            raise ValueError("l must be finite and positive")  # reference validation
+        if x.shape[0] != l.shape[0]:
+            raise ValueError("x and l must have matching leading dimension")
+
+        self.x_mean = options.pop("x_mean", 0.0)
+        self.x_var = options.pop("x_var", 1.0)
+        self.gamma = float(options.pop("gamma", 1.0))
+        self.s_tl = float(options.pop("s", options.pop("s_tl", 0.0)))
+        self.s_l = float(options.pop("s_l", self.s_tl))
+        opt_kwargs = {k: options.pop(k) for k in list(options) if k in _OPTION_KEYS}
+        if options:
+            raise ValueError(f"unknown options: {sorted(options)}")
+        opt_kwargs.setdefault("dim", x.shape[1])
+        opt_kwargs.setdefault("max_obs", max(2 * x.shape[0], 32))
+        self.options = BQOptions(**opt_kwargs)
+
+        self._x0 = x
+        self._l0 = l
+        self._state: Optional[bqm.BQState] = None
+        self._initialized = False
+        self._rng = np.random.RandomState(0)
+        logger.debug("BQ created with %d observations, options=%s", x.shape[0], self.options)
+
+    # ------------------------------------------------------------------ state
+    @property
+    def state(self) -> bqm.BQState:
+        if self._state is None:
+            self.init()
+        return self._state
+
+    def init(self, params_tl=(1.0, 1.0), params_l=(1.0, 1.0)):
+        """Construct both GPs (bq.py::BQ.init)."""
+        self._state = bqm.init_state(
+            self._x0,
+            self._l0,
+            self.options,
+            params_tl=params_tl,
+            params_l=params_l,
+            s_tl=self.s_tl,
+            s_l=self.s_l,
+            gamma=self.gamma,
+            x_mean=self.x_mean,
+            x_var=self.x_var,
+        )
+        self._initialized = True
+        return self
+
+    def _key(self, seed=None):
+        if seed is None:
+            seed = int(self._rng.randint(0, 2**31 - 1))
+        return jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------- parity properties
+    @property
+    def ns(self) -> int:
+        return int(self.state.ns)
+
+    @property
+    def x_s(self) -> np.ndarray:
+        st = self.state
+        return np.asarray(st.x_s)[: self.ns]
+
+    @property
+    def l_s(self) -> np.ndarray:
+        return np.asarray(self.state.l_s)[: self.ns]
+
+    @property
+    def tl_s(self) -> np.ndarray:
+        return np.asarray(self.state.tl_s)[: self.ns]
+
+    @property
+    def x_c(self) -> np.ndarray:
+        st = self.state
+        return np.asarray(st.x_c)[np.asarray(st.c_mask)]
+
+    @property
+    def l_c(self) -> np.ndarray:
+        st = self.state
+        return np.asarray(st.l_c)[np.asarray(st.c_mask)]
+
+    @property
+    def nc(self) -> int:
+        return int(np.sum(np.asarray(self.state.c_mask)))
+
+    @property
+    def x_sc(self) -> np.ndarray:
+        st = self.state
+        return np.asarray(st.x_sc)[np.asarray(st.sc_mask)]
+
+    @property
+    def l_sc(self) -> np.ndarray:
+        st = self.state
+        return np.asarray(st.l_sc)[np.asarray(st.sc_mask)]
+
+    @property
+    def gp_log_l(self):
+        return self.state.gp_log_l
+
+    @property
+    def gp_l(self):
+        return self.state.gp_l
+
+    # ------------------------------------------------------------- estimation
+    def Z_mean(self) -> float:
+        return float(_z_mean(self.state, self.options))
+
+    def Z_var(self) -> float:
+        return float(_z_var(self.state, self.options))
+
+    def expected_squared_mean(self, x_a) -> np.ndarray:
+        out = np.asarray(_esm(self.state, self.options, jnp.atleast_1d(jnp.asarray(x_a))))
+        return out if np.ndim(x_a) else out[0]
+
+    def expected_Z_var(self, x_a) -> np.ndarray:
+        out = np.asarray(_ezv(self.state, self.options, jnp.atleast_1d(jnp.asarray(x_a))))
+        return out if np.ndim(x_a) else out[0]
+
+    # ---------------------------------------------------------------- fitting
+    def fit_hypers(self, params: Sequence[str] = ("h", "w"), ntry: int = 10, seed=None):
+        """Multi-restart MLL fit of both GPs' kernel params
+        (bq.py::BQ.fit_hypers; restarts run as one vmapped L-BFGS)."""
+        del params  # reference allows subsets; we always fit (h, w)
+        st = self.state
+        opts = self.options
+        k1, k2, k3, k4 = jax.random.split(self._key(seed), 4)
+        inits_tl = fitm.random_restarts(
+            k1, st.gp_log_l.theta, st.x_s, st.tl_s, st.obs_mask, ntry
+        )
+        theta_tl, mll_tl = fitm.fit_params(
+            opts.kernel, st.gp_log_l.theta, st.gp_log_l.s, st.x_s, st.tl_s,
+            st.obs_mask, k2, inits_tl,
+        )
+        st = _set_params(st, opts, theta_tl)
+        l_sc = jnp.where(st.sc_mask, st.l_sc, 0.0)
+        inits_l = fitm.random_restarts(k3, st.gp_l.theta, st.x_sc, l_sc, st.sc_mask, ntry)
+        theta_l, mll_l = fitm.fit_params(
+            opts.kernel, st.gp_l.theta, st.gp_l.s, st.x_sc, l_sc, st.sc_mask, k4, inits_l,
+        )
+        self._state = _set_params(st, opts, None, theta_l)
+        logger.debug("fit_hypers: theta_tl=%s (mll=%.4f) theta_l=%s (mll=%.4f)",
+                     theta_tl, float(mll_tl), theta_l, float(mll_l))
+        return self
+
+    #: BASELINE.json spells the public method ``fit``.
+    fit = fit_hypers
+
+    def sample_hypers(self, n: int, nburn: int = 10, seed=None) -> np.ndarray:
+        """Slice-sample θ_tl posteriors (bq.py::BQ.sample_hypers)."""
+        return np.asarray(
+            margm.sample_hypers(self.state, self.options, self._key(seed), n, nburn)
+        )
+
+    def marginalize(self, funs=None, n: int = 100, params=None, seed=None):
+        """Hyperparameter-marginalized estimates (bq.py::BQ.marginalize).
+
+        ``funs`` defaults to (Z_mean, Z_var); strings "Z_mean"/"Z_var" are
+        also accepted. Returns a tuple of (n,) numpy arrays.
+        """
+        del params
+        named = {"Z_mean": bqm.Z_mean, "Z_var": bqm.Z_var}
+        if funs is None:
+            funs = (bqm.Z_mean, bqm.Z_var)
+        funs = tuple(named.get(f, f) for f in funs)
+        thetas = margm.sample_hypers(self.state, self.options, self._key(seed), n)
+        outs = margm.marginalize(self.state, self.options, thetas, funs)
+        return tuple(np.asarray(o) for o in outs)
+
+    # --------------------------------------------------------- active sampling
+    def choose_next(self, x_a, n: int = 0, params=None, seed=None, plot: bool = False):
+        """Best next sample location from a grid, optionally marginalizing ESM
+        over ``n`` hyper samples (bq.py::BQ.choose_next)."""
+        del params
+        hyper = None
+        if n and n > 0:
+            hyper = margm.sample_hypers(self.state, self.options, self._key(seed), n)
+        x_best, scores = _choose(self.state, self.options, jnp.asarray(x_a), hyper)
+        if plot:
+            from tpubq.utils import plotting
+
+            plotting.plot_expected_squared_mean(self, np.asarray(x_a), np.asarray(scores))
+        x_best = np.asarray(x_best)
+        return x_best if self.options.dim > 1 else float(x_best[0])
+
+    def add_observation(self, x_a, l_a):
+        """Append an observation and refit (bq.py::BQ.add_observation)."""
+        l_a = float(l_a)
+        if not np.isfinite(l_a) or l_a <= 0:
+            raise ValueError("l must be finite and positive")
+        x_arr = np.asarray(x_a, dtype=self.options.np_dtype).reshape((self.options.dim,))
+        if np.min(np.max(np.abs(self.x_s - x_arr[None, :]), axis=1)) < 1e-10:
+            raise ValueError("duplicate observation location")  # reference rejects dups
+        if self.ns >= self.options.max_obs:
+            self._grow_capacity()
+        self._state = _add_obs(self.state, self.options, x_arr, l_a)
+        return self
+
+    def _grow_capacity(self):
+        """Double max_obs (forces one re-trace; amortized geometric growth)."""
+        st = self.state
+        old = self.options
+        new_opts = BQOptions(**{**{k: getattr(old, k) for k in _OPTION_KEYS},
+                                "max_obs": old.max_obs * 2})
+        logger.debug("growing max_obs %d -> %d", old.max_obs, new_opts.max_obs)
+        self.options = new_opts
+        self._state = bqm.init_state(
+            np.asarray(st.x_s)[: int(st.ns)],
+            np.asarray(st.l_s)[: int(st.ns)],
+            new_opts,
+            params_tl=np.asarray(st.gp_log_l.theta),
+            params_l=np.asarray(st.gp_l.theta),
+            s_tl=float(st.gp_log_l.s),
+            s_l=float(st.gp_l.s),
+            gamma=float(st.gamma),
+            x_mean=np.asarray(st.x_mean),
+            x_var=np.asarray(st.x_var),
+        )
+
+    # ------------------------------------------------------------- persistence
+    def save(self, filename, force: bool = False):
+        """Persist observations + options + hyperparameters to .npz
+        (bq.py::BQ.save; factorizations are recomputed on load)."""
+        import os
+
+        if os.path.exists(str(filename)) and not force:
+            raise IOError(f"{filename} already exists (use force=True)")
+        st = self.state
+        np.savez(
+            filename,
+            x_s=np.asarray(st.x_s)[: self.ns],
+            l_s=np.asarray(st.l_s)[: self.ns],
+            theta_tl=np.asarray(st.gp_log_l.theta),
+            theta_l=np.asarray(st.gp_l.theta),
+            s_tl=float(st.gp_log_l.s),
+            s_l=float(st.gp_l.s),
+            gamma=float(st.gamma),
+            x_mean=np.asarray(st.x_mean),
+            x_var=np.asarray(st.x_var),
+            **{f"opt_{k}": getattr(self.options, k) for k in _OPTION_KEYS},
+        )
+
+    @classmethod
+    def load(cls, filename):
+        """Reconstruct a BQ from .npz (bq.py::BQ.load)."""
+        with np.load(str(filename), allow_pickle=False) as d:
+            opts = {}
+            for k in _OPTION_KEYS:
+                v = d[f"opt_{k}"][()]
+                if isinstance(v, (np.str_, np.bytes_)):
+                    v = str(v)
+                opts[k] = v
+            obj = cls(
+                d["x_s"],
+                d["l_s"],
+                x_mean=d["x_mean"],
+                x_var=d["x_var"],
+                gamma=float(d["gamma"]),
+                s=float(d["s_tl"]),
+                s_l=float(d["s_l"]),
+                **{k: (v.item() if hasattr(v, "item") and k not in ("kernel", "dtype") else v)
+                   for k, v in opts.items()},
+            )
+            obj.init(params_tl=d["theta_tl"], params_l=d["theta_l"])
+        return obj
+
+    # ---------------------------------------------------------------- plotting
+    def plot_gp_log_l(self, ax=None, f_l=None, xmin=None, xmax=None):
+        from tpubq.utils import plotting
+
+        return plotting.plot_gp_log_l(self, ax=ax, f_l=f_l, xmin=xmin, xmax=xmax)
+
+    def plot_gp_l(self, ax=None, f_l=None, xmin=None, xmax=None):
+        from tpubq.utils import plotting
+
+        return plotting.plot_gp_l(self, ax=ax, f_l=f_l, xmin=xmin, xmax=xmax)
+
+    def plot_l(self, ax=None, f_l=None, xmin=None, xmax=None):
+        from tpubq.utils import plotting
+
+        return plotting.plot_l(self, ax=ax, f_l=f_l, xmin=xmin, xmax=xmax)
+
+    def plot(self, f_l=None, xmin=None, xmax=None):
+        from tpubq.utils import plotting
+
+        return plotting.plot(self, f_l=f_l, xmin=xmin, xmax=xmax)
+
+    def plot_expected_squared_mean(self, ax=None, xmin=None, xmax=None):
+        from tpubq.utils import plotting
+
+        return plotting.plot_expected_squared_mean_curve(self, ax=ax, xmin=xmin, xmax=xmax)
+
+    def plot_expected_variance(self, ax=None, xmin=None, xmax=None):
+        from tpubq.utils import plotting
+
+        return plotting.plot_expected_variance_curve(self, ax=ax, xmin=xmin, xmax=xmax)
+
+    def __repr__(self):
+        return f"BQ(ns={self.ns if self._state is not None else self._x0.shape[0]}, options={self.options})"

@@ -1,0 +1,372 @@
+"""BQ functional core: state, exp-linearization, and Z-moment estimators.
+
+Reference parity: ``bayesian_quadrature/bq.py::BQ`` (init / _choose_candidates
+/ Z_mean / Z_var and the internal state ``x_s, l_s, tl_s, x_c, l_c, x_sc,
+l_sc, gp_log_l, gp_l, gamma``). The reference mutates a Python object and
+loops in Cython; here the whole estimator state is one pytree (``BQState``)
+with statically padded arrays, and every estimator is a pure jit-able
+function — growing the dataset (``add_observation``) or re-selecting
+candidates never changes shapes, so the XLA program is compiled once.
+
+The math (Osborne et al. 2012 linearization):
+
+  1. ``tl = log(l / γ + 1)``; fit ``gp_log_l`` on (x_s, tl_s).
+  2. Candidates x_c fill the observed range; the linearization anchors are
+     ``l_c = γ (exp(m_tl(x_c)) − 1)``; fit ``gp_l`` on (x_sc, l_sc) where
+     ``x_sc = x_s ∪ x_c``.
+  3. ``E[Z] = ∫ m_l(x) p(x) dx = α_l · int_K(x_sc)`` (closed form).
+  4. ``V[Z] = ∫∫ (m_l(x)+γ) C_tl(x,x') (m_l(x')+γ) p(x) p(x') dx dx'``,
+     the log-GP posterior covariance transported through the exp-transform
+     (dℓ/d(tl) = γ e^{tl} = ℓ + γ evaluated at the linearization point).
+
+Each closed form has an ``approx_*`` quadrature twin that integrates the
+actual GP posteriors on a dense grid — the reference's own validation
+pattern (tests/test_bq.py), reused here as the oracle for the XLA paths.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpubq.models import gp as gpm
+from tpubq.ops import integrals as igr
+from tpubq.ops import linalg
+from tpubq.ops.kernels import get_kernel
+from tpubq.utils.options import BQOptions
+
+
+class BQState(NamedTuple):
+    """Full estimator state (a pytree; shapes fixed by BQOptions).
+
+    x_s: (max_obs, d) observations; l_s: (max_obs,) likelihoods (> 0);
+    tl_s: (max_obs,) log-transformed; obs_mask: (max_obs,) live flags;
+    ns: () int32 live count.
+    x_c: (n_candidate, d) candidate grid; l_c: (n_candidate,) linearization
+    anchors; c_mask: (n_candidate,) live flags (thresh-filtered).
+    gamma: () exp-transform constant (reference default 1).
+    x_mean: (d,), x_var: (d, d) — the Gaussian measure p(x).
+    gp_log_l / gp_l: cached GP factorizations (log space / linear space).
+    """
+
+    x_s: jnp.ndarray
+    l_s: jnp.ndarray
+    tl_s: jnp.ndarray
+    obs_mask: jnp.ndarray
+    ns: jnp.ndarray
+    x_c: jnp.ndarray
+    l_c: jnp.ndarray
+    c_mask: jnp.ndarray
+    gamma: jnp.ndarray
+    x_mean: jnp.ndarray
+    x_var: jnp.ndarray
+    gp_log_l: gpm.GPState
+    gp_l: gpm.GPState
+
+    # -- convenience views over the combined obs ∪ candidate set ------------
+    @property
+    def x_sc(self) -> jnp.ndarray:
+        return jnp.concatenate([self.x_s, self.x_c], axis=0)
+
+    @property
+    def l_sc(self) -> jnp.ndarray:
+        return jnp.concatenate([self.l_s, self.l_c], axis=0)
+
+    @property
+    def sc_mask(self) -> jnp.ndarray:
+        return jnp.concatenate([self.obs_mask, self.c_mask], axis=0)
+
+
+def log_transform(l: jnp.ndarray, gamma) -> jnp.ndarray:
+    """tl = log(l / γ + 1) (bq.py::BQ.__init__)."""
+    return jnp.log1p(l / gamma)
+
+
+def inv_log_transform(tl: jnp.ndarray, gamma) -> jnp.ndarray:
+    """l = γ (exp(tl) − 1)."""
+    return gamma * jnp.expm1(tl)
+
+
+def choose_candidates(x_s, obs_mask, opts: BQOptions):
+    """Candidate grid + mask (bq.py::BQ._choose_candidates).
+
+    A linspace of ``n_candidate`` points across the live observation range;
+    points within ``candidate_thresh`` (sup-norm) of any live observation are
+    masked out instead of dropped, keeping shapes static.
+    1-D rule, applied along the first input dimension; for d > 1 the grid
+    varies dim 0 and fixes other dims at the masked mean of observations.
+    """
+    dtype = x_s.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    m = obs_mask
+    x0 = x_s[:, 0]
+    lo = jnp.min(jnp.where(m, x0, big))
+    hi = jnp.max(jnp.where(m, x0, -big))
+    t = jnp.linspace(0.0, 1.0, opts.n_candidate, dtype=dtype)
+    grid0 = lo + t * (hi - lo)
+    n_live = jnp.maximum(jnp.sum(m.astype(dtype)), 1.0)
+    center = jnp.sum(jnp.where(m[:, None], x_s, 0.0), axis=0) / n_live
+    x_c = jnp.tile(center[None, :], (opts.n_candidate, 1))
+    x_c = x_c.at[:, 0].set(grid0)
+    # mask out candidates within thresh of any live observation
+    dist = jnp.max(jnp.abs(x_c[:, None, :] - x_s[None, :, :]), axis=-1)
+    near = jnp.any(jnp.logical_and(dist < opts.candidate_thresh, m[None, :]), axis=1)
+    return x_c, jnp.logical_not(near)
+
+
+def _fit_gps(state: BQState, opts: BQOptions, ladder: bool = True) -> BQState:
+    """(Re)build candidates, linearization anchors, and both GP factors.
+
+    The single choke point every state change flows through — the functional
+    equivalent of the reference's ``init``/``_fit_log_l``/``_fit_l`` chain.
+    """
+    kfn, _ = get_kernel(opts.kernel)
+    tl_s = jnp.where(state.obs_mask, log_transform(state.l_s, state.gamma), 0.0)
+    gp_tl = gpm.gp_fit(
+        kfn,
+        state.gp_log_l.theta,
+        state.gp_log_l.s,
+        state.x_s,
+        tl_s,
+        state.obs_mask,
+        base_jitter=opts.base_jitter,
+        ladder=ladder,
+    )
+    x_c, c_mask = choose_candidates(state.x_s, state.obs_mask, opts)
+    m_tl_c = gpm.gp_mean(kfn, gp_tl, x_c)
+    l_c = jnp.where(c_mask, inv_log_transform(m_tl_c, state.gamma), 0.0)
+    x_sc = jnp.concatenate([state.x_s, x_c], axis=0)
+    l_sc = jnp.concatenate([jnp.where(state.obs_mask, state.l_s, 0.0), l_c], axis=0)
+    sc_mask = jnp.concatenate([state.obs_mask, c_mask], axis=0)
+    gp_l = gpm.gp_fit(
+        kfn,
+        state.gp_l.theta,
+        state.gp_l.s,
+        x_sc,
+        l_sc,
+        sc_mask,
+        base_jitter=opts.base_jitter,
+        ladder=ladder,
+    )
+    return state._replace(tl_s=tl_s, x_c=x_c, l_c=l_c, c_mask=c_mask, gp_log_l=gp_tl, gp_l=gp_l)
+
+
+def init_state(
+    x,
+    l,
+    opts: BQOptions,
+    params_tl=(1.0, 1.0),
+    params_l=(1.0, 1.0),
+    s_tl=0.0,
+    s_l=0.0,
+    gamma=1.0,
+    x_mean=None,
+    x_var=None,
+) -> BQState:
+    """Build a BQState from raw observations (bq.py::BQ.__init__ + init)."""
+    dtype = opts.np_dtype
+    x = jnp.asarray(x, dtype=dtype)
+    if x.ndim == 1:
+        x = x[:, None]
+    l = jnp.asarray(l, dtype=dtype)
+    n, d = x.shape
+    if d != opts.dim:
+        raise ValueError(f"x has dim {d}, options say {opts.dim}")
+    if n > opts.max_obs:
+        raise ValueError(f"{n} observations exceed max_obs={opts.max_obs}")
+    if l.shape != (n,):
+        raise ValueError("l must be (n,) matching x")
+
+    pad = opts.max_obs - n
+    x_s = jnp.concatenate([x, jnp.zeros((pad, d), dtype=dtype)], axis=0)
+    l_s = jnp.concatenate([l, jnp.zeros((pad,), dtype=dtype)], axis=0)
+    obs_mask = jnp.arange(opts.max_obs) < n
+
+    if x_mean is None:
+        x_mean = jnp.zeros((d,), dtype=dtype)
+    else:
+        x_mean = jnp.asarray(x_mean, dtype=dtype).reshape((d,))
+    if x_var is None:
+        x_var = jnp.eye(d, dtype=dtype)
+    else:
+        x_var = jnp.asarray(x_var, dtype=dtype)
+        if x_var.ndim == 0:
+            x_var = jnp.eye(d, dtype=dtype) * x_var
+        elif x_var.ndim == 1:
+            x_var = jnp.diag(x_var)
+
+    theta_tl = jnp.asarray(params_tl, dtype=dtype)
+    theta_l = jnp.asarray(params_l, dtype=dtype)
+    nc = opts.n_candidate
+    nsc = opts.max_nsc
+    empty_gp_tl = gpm.GPState(
+        theta_tl,
+        jnp.asarray(s_tl, dtype),
+        x_s,
+        l_s,
+        obs_mask,
+        jnp.eye(opts.max_obs, dtype=dtype),
+        jnp.zeros((opts.max_obs,), dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    empty_gp_l = gpm.GPState(
+        theta_l,
+        jnp.asarray(s_l, dtype),
+        jnp.zeros((nsc, d), dtype),
+        jnp.zeros((nsc,), dtype),
+        jnp.zeros((nsc,), bool),
+        jnp.eye(nsc, dtype=dtype),
+        jnp.zeros((nsc,), dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    state = BQState(
+        x_s=x_s,
+        l_s=l_s,
+        tl_s=jnp.zeros_like(l_s),
+        obs_mask=obs_mask,
+        ns=jnp.asarray(n, jnp.int32),
+        x_c=jnp.zeros((nc, d), dtype),
+        l_c=jnp.zeros((nc,), dtype),
+        c_mask=jnp.zeros((nc,), bool),
+        gamma=jnp.asarray(gamma, dtype),
+        x_mean=x_mean,
+        x_var=x_var,
+        gp_log_l=empty_gp_tl,
+        gp_l=empty_gp_l,
+    )
+    return _fit_gps(state, opts)
+
+
+def set_params(state: BQState, opts: BQOptions, theta_tl=None, theta_l=None, ladder=True) -> BQState:
+    """Swap kernel hyperparameters and refactorize (gp params setter parity)."""
+    gp_tl = state.gp_log_l
+    gp_l = state.gp_l
+    if theta_tl is not None:
+        gp_tl = gp_tl._replace(theta=jnp.asarray(theta_tl, state.x_s.dtype))
+    if theta_l is not None:
+        gp_l = gp_l._replace(theta=jnp.asarray(theta_l, state.x_s.dtype))
+    return _fit_gps(state._replace(gp_log_l=gp_tl, gp_l=gp_l), opts, ladder=ladder)
+
+
+# ---------------------------------------------------------------------------
+# Z moments (closed form) — bq.py::BQ.Z_mean / BQ.Z_var via bq_c.pyx
+# ---------------------------------------------------------------------------
+
+
+def _theta_hw(theta):
+    return theta[0], theta[1:]
+
+
+def Z_mean(state: BQState, opts: BQOptions) -> jnp.ndarray:
+    """E[Z] = α_l · int_K(x_sc) (bq.py::BQ.Z_mean, bq_c.pyx::Z_mean)."""
+    h_l, w_l = _theta_hw(state.gp_l.theta)
+    z = igr.int_K(state.x_sc, h_l, w_l, state.x_mean, state.x_var)
+    z = jnp.where(state.sc_mask, z, 0.0)
+    return jnp.dot(z, state.gp_l.alpha)
+
+
+def Z_var(state: BQState, opts: BQOptions) -> jnp.ndarray:
+    """V[Z] — transported log-GP covariance (bq.py::BQ.Z_var, bq_c.pyx::Z_var).
+
+    Dtype dispatch: float64 uses the closed form (`Z_var_exact`); float32
+    (the TPU hot path) uses the Gauss–Hermite form (`Z_var_gh`), because the
+    closed form's cancellation (result ~1e-6 against intermediates ~1e-1,
+    amplified by large α entries) exceeds f32 precision — observed to drive
+    V[Z] negative on hardware.
+    """
+    if opts.dtype == "float32" and opts.dim == 1:
+        return Z_var_gh(state, opts)
+    return Z_var_exact(state, opts)
+
+
+def Z_var_exact(state: BQState, opts: BQOptions) -> jnp.ndarray:
+    """Closed-form V[Z].
+
+    V[Z] = ∫∫ (m_l(x)+γ) C_tl(x,x') (m_l(x')+γ) p(x) p(x') dx dx'
+         = term_mm + 2 γ term_m + γ² term_0, with
+    term_0  = ∫∫ C_tl p p                  = Q − q^T K_tl^{-1} q
+    term_m  = α^T (U − P K_tl^{-1} q)
+    term_mm = α^T (T − P K_tl^{-1} P^T) α
+    where q = int_K(x_s; k_tl), Q = int_int_K(k_tl),
+    P = int_K1_K2(x_sc, x_s; k_l, k_tl), T = int_int_K1_K2(x_sc, x_sc),
+    U = int_K1_int_K2(x_sc; k_l, k_tl).
+    """
+    dtype = state.x_s.dtype
+    mu, Sig = state.x_mean, state.x_var
+    h_l, w_l = _theta_hw(state.gp_l.theta)
+    h_tl, w_tl = _theta_hw(state.gp_log_l.theta)
+    m_s = state.obs_mask.astype(dtype)
+    m_sc = state.sc_mask.astype(dtype)
+    alpha = state.gp_l.alpha  # zero at pads
+    L_tl = state.gp_log_l.L
+
+    q = igr.int_K(state.x_s, h_tl, w_tl, mu, Sig) * m_s
+    Q = igr.int_int_K(opts.dim, h_tl, w_tl, mu, Sig)
+    P = igr.int_K1_K2(state.x_sc, state.x_s, h_l, w_l, h_tl, w_tl, mu, Sig)
+    P = P * m_sc[:, None] * m_s[None, :]
+    T = igr.int_int_K1_K2(state.x_sc, state.x_sc, h_l, w_l, h_tl, w_tl, mu, Sig)
+    T = T * m_sc[:, None] * m_sc[None, :]
+    U = igr.int_K1_int_K2(state.x_sc, h_l, w_l, h_tl, w_tl, mu, Sig) * m_sc
+
+    beta = linalg.chol_solve(L_tl, q)
+    term0 = Q - jnp.dot(q, beta)
+    term_m = jnp.dot(alpha, U - P @ beta)
+    g = P.T @ alpha  # (n_s,)
+    term_mm = alpha @ (T @ alpha) - jnp.dot(g, linalg.chol_solve(L_tl, g))
+    gamma = state.gamma
+    return term_mm + 2.0 * gamma * term_m + gamma * gamma * term0
+
+
+def Z_var_gh(state: BQState, opts: BQOptions) -> jnp.ndarray:
+    """V[Z] by Gauss–Hermite quadrature over the measure (1-D).
+
+    V = Σ_ij a_i C_tl(x_i, x_j) a_j,  a_i = ω_i (m_l(x_i) + γ), with (x_i, ω_i)
+    the n_gh Hermite nodes/weights of N(x_mean, x_var). All intermediates are
+    O(h²)-bounded, so this is the numerically stable form for float32; in
+    float64 it agrees with Z_var_exact to quadrature precision (tested).
+    """
+    import numpy as np
+
+    kfn, _ = get_kernel(opts.kernel)
+    dtype = state.x_s.dtype
+    t, w = np.polynomial.hermite_e.hermegauss(opts.n_gh)
+    t = jnp.asarray(t, dtype)
+    w = jnp.asarray(w / np.sqrt(2.0 * np.pi), dtype)
+    sig = jnp.sqrt(state.x_var[0, 0])
+    nodes = (state.x_mean[0] + sig * t)[:, None]
+    m_l = gpm.gp_mean(kfn, state.gp_l, nodes) + state.gamma
+    C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)
+    a = w * m_l
+    return jnp.maximum(a @ (C_tl @ a), 0.0)
+
+
+def Z_mean_and_var(state: BQState, opts: BQOptions):
+    return Z_mean(state, opts), Z_var(state, opts)
+
+
+# ---------------------------------------------------------------------------
+# Quadrature twins — integrate the actual GP posteriors on a dense 1-D grid
+# (reference approx_Z_mean / approx_Z_var pattern).
+# ---------------------------------------------------------------------------
+
+
+def approx_Z_mean(state: BQState, opts: BQOptions, xo) -> jnp.ndarray:
+    kfn, _ = get_kernel(opts.kernel)
+    xo = jnp.asarray(xo, state.x_s.dtype)
+    m_l = gpm.gp_mean(kfn, state.gp_l, xo[:, None])
+    p = igr._pdf_1d(xo, state.x_mean, state.x_var)
+    return jnp.trapezoid(m_l * p, xo)
+
+
+def approx_Z_var(state: BQState, opts: BQOptions, xo) -> jnp.ndarray:
+    kfn, _ = get_kernel(opts.kernel)
+    xo = jnp.asarray(xo, state.x_s.dtype)
+    X = xo[:, None]
+    m_l = gpm.gp_mean(kfn, state.gp_l, X) + state.gamma
+    C_tl = gpm.gp_cov(kfn, state.gp_log_l, X)
+    p = igr._pdf_1d(xo, state.x_mean, state.x_var)
+    w = m_l * p
+    inner = jnp.trapezoid(C_tl * w[None, :], xo, axis=1)
+    return jnp.trapezoid(inner * w, xo)

@@ -1,0 +1,138 @@
+"""Gaussian-process regression engine.
+
+Reference parity: the reference outsources its GP to the external ``gp``
+package (``gp/gp.py::GP``: Gram assembly, Cholesky posterior, log marginal
+likelihood + analytic gradient, cached factorizations). That dependency is
+part of the behavior surface, so it is absorbed here — but functionally:
+a ``GPState`` NamedTuple (a pytree) carries the data, mask, and cached
+Cholesky factor; every operation is a pure function, jit/vmap-friendly, and
+gradients of the MLL come from ``jax.grad`` instead of hand-written kernel
+jacobians (reference: gp/gp.py::GP.dloglh_dtheta).
+
+All data arrays are statically padded; ``mask`` marks live rows. Padded
+rows/columns of the Gram are replaced by identity (see
+``tpubq.ops.linalg.pad_gram``) so factorizations, solves and log-dets of the
+live submatrix fall out of fixed-shape operations — the pattern that keeps
+``add_observation`` recompile-free under jit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpubq.ops import linalg
+from tpubq.ops.kernels import get_kernel
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+class GPState(NamedTuple):
+    """Immutable GP snapshot (a pytree).
+
+    theta: kernel parameters, e.g. [h, w] (gaussian) or [h, w, p] (periodic).
+    s: observation noise standard deviation.
+    x: (n, d) padded inputs;  y: (n,) padded targets;  mask: (n,) live flags.
+    L: (n, n) Cholesky factor of the padded, conditioned Gram.
+    alpha: (n,) K^{-1} y (zero at pads).
+    jitter: the diagonal jitter that was applied (absolute units).
+    """
+
+    theta: jnp.ndarray
+    s: jnp.ndarray
+    x: jnp.ndarray
+    y: jnp.ndarray
+    mask: jnp.ndarray
+    L: jnp.ndarray
+    alpha: jnp.ndarray
+    jitter: jnp.ndarray
+
+
+def _gram(kfn: Callable, theta, s, x, mask):
+    K = kfn(theta, x, x)
+    eye = jnp.eye(x.shape[0], dtype=K.dtype)
+    return K + eye * (s * s) * mask.astype(K.dtype)
+
+
+def gp_fit(
+    kfn: Callable,
+    theta,
+    s,
+    x,
+    y,
+    mask,
+    base_jitter: float = 1e-12,
+    ladder: bool = True,
+) -> GPState:
+    """Factorize the Gram and cache (L, alpha).
+
+    ``ladder=True`` uses the escalating jitter ladder (estimation paths);
+    ``ladder=False`` uses a single fixed-jitter factorization and stays
+    reverse-differentiable (fitting paths).
+    """
+    theta = jnp.asarray(theta, dtype=x.dtype)
+    s = jnp.asarray(s, dtype=x.dtype)
+    K = _gram(kfn, theta, s, x, mask)
+    if ladder:
+        L, jit_used, _ok = linalg.jitter_cholesky(K, mask, base_jitter)
+    else:
+        L = linalg.cholesky_fixed(K, mask, base_jitter)
+        jit_used = jnp.asarray(base_jitter, x.dtype)
+    ym = jnp.where(mask, y, 0.0)
+    alpha = linalg.chol_solve(L, ym)
+    return GPState(theta, s, x, ym, mask, L, alpha, jit_used)
+
+
+def gp_mean(kfn: Callable, gp: GPState, xo) -> jnp.ndarray:
+    """Posterior mean at xo (zero prior mean, as in gp/gp.py::GP.mean)."""
+    Kox = kfn(gp.theta, xo, gp.x) * gp.mask.astype(xo.dtype)[None, :]
+    return Kox @ gp.alpha
+
+
+def gp_cov(kfn: Callable, gp: GPState, xo) -> jnp.ndarray:
+    """Posterior covariance at xo (gp/gp.py::GP.cov)."""
+    Kox = kfn(gp.theta, xo, gp.x) * gp.mask.astype(xo.dtype)[None, :]
+    v = linalg.tri_solve(gp.L, Kox.T)  # (n, no)
+    Koo = kfn(gp.theta, xo, xo)
+    return Koo - v.T @ v
+
+
+def gp_var(kfn: Callable, kdiagfn: Callable, gp: GPState, xo) -> jnp.ndarray:
+    """Posterior marginal variance at xo (diagonal of gp_cov)."""
+    Kox = kfn(gp.theta, xo, gp.x) * gp.mask.astype(xo.dtype)[None, :]
+    v = linalg.tri_solve(gp.L, Kox.T)
+    return kdiagfn(gp.theta, xo) - jnp.sum(v * v, axis=0)
+
+
+def log_mll(kfn: Callable, theta, s, x, y, mask, jitter: float = 1e-12) -> jnp.ndarray:
+    """Masked log marginal likelihood (gp/gp.py::GP.log_lh).
+
+    -1/2 y^T K^{-1} y - 1/2 log|K| - n_live/2 log 2π, computed on fixed
+    shapes via the identity-padded Gram. Differentiable in (theta, s).
+    """
+    theta = jnp.asarray(theta, dtype=x.dtype)
+    K = _gram(kfn, theta, s, x, mask)
+    L = linalg.cholesky_fixed(K, mask, jitter)
+    ym = jnp.where(mask, y, 0.0)
+    alpha = linalg.chol_solve(L, ym)
+    n_live = jnp.sum(mask.astype(x.dtype))
+    quad = jnp.dot(ym, alpha)
+    logdet = linalg.masked_logdet(L, mask)
+    return -0.5 * (quad + logdet + n_live * _LOG2PI)
+
+
+def log_mll_by_name(kernel: str):
+    kfn, _ = get_kernel(kernel)
+
+    def f(theta, s, x, y, mask, jitter=1e-12):
+        return log_mll(kfn, theta, s, x, y, mask, jitter)
+
+    return f
+
+
+def dlog_mll(kfn: Callable, theta, s, x, y, mask, jitter: float = 1e-12):
+    """∂MLL/∂theta via autodiff (replaces gp/gp.py::GP.dloglh_dtheta)."""
+    return jax.grad(lambda t: log_mll(kfn, t, s, x, y, mask, jitter))(theta)

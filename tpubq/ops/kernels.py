@@ -1,0 +1,70 @@
+"""Covariance kernels.
+
+Reference parity: the reference imports its kernels from the external ``gp``
+package (``gp/kernels/gaussian.py::GaussianKernel``,
+``gp/kernels/periodic.py::PeriodicKernel``), each backed by a Cython
+extension for evaluation and hand-written parameter jacobians. Here kernels
+are pure-JAX functions of a flat parameter vector; derivatives come from
+``jax.grad`` (no hand-written jacobians), and the Gram-matrix hot path has a
+Pallas TPU kernel (``tpubq.ops.pallas_kernels``).
+
+Parameterization:
+  gaussian: ``theta = [h, w_1, ..., w_d]`` with
+      k(a, b) = h^2 exp(-1/2 * sum_j ((a_j - b_j) / w_j)^2)
+  periodic: ``theta = [h, w, p]`` (1-D circular domains), with
+      k(a, b) = h^2 exp(-2 sin^2((a - b) / (2 p)) / w^2)
+
+All evaluation functions take ``x1: (n1, d)``, ``x2: (n2, d)`` and return the
+``(n1, n2)`` Gram matrix in the dtype of the inputs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sqdist(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Scaled squared distances sum_j ((x1_i - x2_j) / w_j)^2 → (n1, n2)."""
+    a = x1 / w
+    b = x2 / w
+    d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+    return d2
+
+
+def gaussian_K(theta: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian (RBF) Gram matrix. Reference: gp/kernels/gaussian.py::GaussianKernel.K."""
+    h = theta[0]
+    w = theta[1:]
+    return (h * h) * jnp.exp(-0.5 * sqdist(x1, x2, w))
+
+
+def gaussian_Kdiag(theta: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    h = theta[0]
+    return jnp.full((x.shape[0],), h * h, dtype=x.dtype)
+
+
+def periodic_K(theta: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Periodic Gram matrix. Reference: gp/kernels/periodic.py::PeriodicKernel.K."""
+    h, w, p = theta[0], theta[1], theta[2]
+    diff = x1[:, None, :] - x2[None, :, :]
+    s = jnp.sin(diff / (2.0 * p)) ** 2
+    return (h * h) * jnp.exp(-2.0 * jnp.sum(s, axis=-1) / (w * w))
+
+
+def periodic_Kdiag(theta: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    h = theta[0]
+    return jnp.full((x.shape[0],), h * h, dtype=x.dtype)
+
+
+_KERNELS = {
+    "gaussian": (gaussian_K, gaussian_Kdiag),
+    "periodic": (periodic_K, periodic_Kdiag),
+}
+
+
+def get_kernel(name: str):
+    """Return ``(K, Kdiag)`` evaluation functions for a kernel family."""
+    try:
+        return _KERNELS[name]
+    except KeyError:
+        raise ValueError(f"unknown kernel {name!r}") from None

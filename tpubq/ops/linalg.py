@@ -1,0 +1,127 @@
+"""Conditioned, masked linear algebra for GP factorizations.
+
+Reference parity: ``bayesian_quadrature/bq_c.pyx::improve_covariance_conditioning``
+and ``remove_jitter`` mutate a Gram matrix's diagonal in place until LAPACK's
+Cholesky succeeds. That is the load-bearing numerics-hygiene subsystem of the
+reference (candidates near observations make Grams near-singular). The
+functional TPU equivalent here is:
+
+  * ``pad_gram`` — embed a Gram over masked (padded) points so the padded
+    rows/columns are exact identity; the Cholesky of the padded matrix then
+    restricts to the Cholesky of the live submatrix (pads contribute zero to
+    log-determinants and solves with zero-padded right-hand sides).
+  * ``jitter_cholesky`` — a jitter *ladder*: escalate relative diagonal
+    jitter (×100 per rung) inside ``lax.while_loop`` until the factor is
+    finite. Used on estimation paths (no gradients needed).
+  * ``cholesky_fixed`` — single factorization with a static base jitter, used
+    on differentiated paths (``lax.while_loop`` is not reverse-differentiable).
+
+Everything is batch-friendly: ``vmap`` over a leading axis gives the batched
+Cholesky pipeline used by hyperparameter marginalization (BASELINE.json
+config 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import scipy as jsp
+
+__all__ = [
+    "pad_gram",
+    "cholesky_fixed",
+    "jitter_cholesky",
+    "chol_solve",
+    "tri_solve",
+    "masked_logdet",
+]
+
+#: Relative jitter ladder (multiples of mean live diagonal). Mirrors the
+#: escalation behavior of the reference's improve_covariance_conditioning.
+JITTER_LADDER = (0.0, 1e-12, 1e-10, 1e-8, 1e-6, 1e-4, 1e-2)
+
+
+def pad_gram(K: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero out padded rows/cols of a Gram matrix and set their diagonal to 1.
+
+    If ``mask[i]`` is False, row/column i of the result is the i-th identity
+    row/column. ``cholesky(pad_gram(K, m))`` equals the identity on padded
+    rows/columns and the Cholesky factor of the live submatrix elsewhere
+    (the live ordering is preserved, pads never mix in).
+    """
+    m = mask.astype(K.dtype)
+    mm = m[:, None] * m[None, :]
+    eye = jnp.eye(K.shape[0], dtype=K.dtype)
+    return K * mm + eye * (1.0 - m)
+
+
+def _diag_scale(K: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of the live diagonal — the reference scales jitter similarly."""
+    m = mask.astype(K.dtype)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.sum(jnp.diag(K) * m) / n
+
+
+def cholesky_fixed(K: jnp.ndarray, mask: jnp.ndarray, jitter: float = 1e-12):
+    """Single masked Cholesky with fixed relative jitter (differentiable)."""
+    m = mask.astype(K.dtype)
+    Kp = pad_gram(K, mask)
+    Kp = Kp + jnp.eye(K.shape[0], dtype=K.dtype) * (jitter * _diag_scale(K, mask)) * m
+    return jnp.linalg.cholesky(Kp)
+
+
+def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0):
+    """Masked Cholesky with an escalating jitter ladder.
+
+    Returns ``(L, jitter_used, ok)``. Escalates through ``JITTER_LADDER``
+    (relative to the mean live diagonal) until the factor is finite. Not
+    reverse-differentiable (uses ``lax.while_loop``); use ``cholesky_fixed``
+    under ``jax.grad``. Functional analogue of
+    bq_c.pyx::improve_covariance_conditioning.
+    """
+    dtype = K.dtype
+    scale = _diag_scale(K, mask)
+    Kp = pad_gram(K, mask)
+    eye_live = jnp.eye(K.shape[0], dtype=dtype) * mask.astype(dtype)
+    ladder = jnp.asarray(JITTER_LADDER, dtype=dtype) + jnp.asarray(base_jitter, dtype)
+
+    def attempt(i):
+        L = jnp.linalg.cholesky(Kp + eye_live * (ladder[i] * scale))
+        ok = jnp.all(jnp.isfinite(L))
+        return L, ok
+
+    def cond(carry):
+        i, _, ok = carry
+        return jnp.logical_and(~ok, i < len(JITTER_LADDER) - 1)
+
+    def body(carry):
+        i, _, _ = carry
+        L, ok = attempt(i + 1)
+        return i + 1, L, ok
+
+    L0, ok0 = attempt(0)
+    i, L, ok = jax.lax.while_loop(cond, body, (jnp.asarray(0), L0, ok0))
+    return L, ladder[i] * scale, ok
+
+
+def tri_solve(L: jnp.ndarray, b: jnp.ndarray, lower: bool = True) -> jnp.ndarray:
+    return jsp.linalg.solve_triangular(L, b, lower=lower)
+
+
+def chol_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve K x = b given K = L L^T."""
+    return jsp.linalg.cho_solve((L, True), b)
+
+
+def masked_logdet(L: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """log|K_live| from the padded factor (pads have L_ii = 1 → contribute 0)."""
+    d = jnp.diag(L)
+    return 2.0 * jnp.sum(jnp.log(jnp.where(mask, d, 1.0)))
+
+
+@partial(jax.jit, static_argnames=())
+def batched_cholesky(Ks: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+    """vmapped fixed-jitter Cholesky over a leading batch axis."""
+    return jax.vmap(cholesky_fixed)(Ks, masks)

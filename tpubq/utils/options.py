@@ -1,0 +1,77 @@
+"""Static configuration for the BQ estimator.
+
+Reference parity: the reference passes a plain ``options`` kwargs dict to
+``BQ.__init__`` (``bayesian_quadrature/bq.py::BQ.__init__``) with keys
+``n_candidate``, ``candidate_thresh``, ``x_mean``, ``x_var`` (plus kernel
+selection). Here the *static* knobs live in a frozen, hashable dataclass so
+they can be jit static arguments; the *numeric* prior moments (``x_mean``,
+``x_var``) are traced state (see ``tpubq.models.bq.BQState``) so changing the
+integration measure does not trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class BQOptions:
+    """Static (hashable) options for a BQ estimator.
+
+    Attributes:
+      n_candidate: size of the candidate grid used to anchor the
+        exp-linearization (reference default 10; grid points too close to an
+        observation are masked out rather than dropped, keeping shapes
+        static).
+      candidate_thresh: minimum spacing between a candidate and any
+        observation (reference: ``candidate_thresh`` option).
+      max_obs: static capacity for observations. ``add_observation`` grows
+        ``ns`` up to this capacity without recompiling; exceeding it requires
+        a re-trace with a larger capacity (handled by the ``BQ`` wrapper).
+      dim: input dimensionality d (reference is 1-D; closed forms here are
+        general-d with diagonal kernel covariance).
+      kernel: covariance kernel family, "gaussian" or "periodic". Closed-form
+        Z integrals exist only for "gaussian"; "periodic" supports the
+        quadrature (approx) paths.
+      dtype: "float64" (default, needed for 1e-6 parity) or "float32"
+        (TPU hot path).
+      base_jitter: relative diagonal conditioning always added before
+        factorization (the functional analogue of the reference's
+        ``improve_covariance_conditioning``, bq_c.pyx).
+      use_pallas: route hot ops through Pallas TPU kernels where available
+        (falls back to pure-XLA paths off-TPU or when False).
+      n_gh: number of Gauss–Hermite nodes for the approx (quadrature) twin of
+        the expected-squared-mean moments.
+    """
+
+    n_candidate: int = 10
+    candidate_thresh: float = 0.5
+    max_obs: int = 32
+    dim: int = 1
+    kernel: str = "gaussian"
+    dtype: str = "float64"
+    base_jitter: float = 1e-12
+    use_pallas: bool = False
+    n_gh: int = 128
+
+    def __post_init__(self):
+        if self.kernel not in ("gaussian", "periodic"):
+            raise ValueError(f"unknown kernel {self.kernel!r}")
+        if self.dtype not in ("float64", "float32"):
+            raise ValueError(f"unknown dtype {self.dtype!r}")
+        if self.n_candidate < 1:
+            raise ValueError("n_candidate must be >= 1")
+        if self.max_obs < 1:
+            raise ValueError("max_obs must be >= 1")
+
+    @property
+    def np_dtype(self):
+        import numpy as np
+
+        return np.dtype(self.dtype)
+
+    @property
+    def max_nsc(self) -> int:
+        """Static capacity of the combined obs ∪ candidate set."""
+        return self.max_obs + self.n_candidate
