@@ -1,0 +1,158 @@
+"""Headline benchmark: ESM candidate scoring @1e4 grid (BASELINE.json config 4).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": pts/s, "unit": "points/s", "vs_baseline": speedup}
+
+``value`` is this framework's throughput on the default device (the TPU chip
+when present). ``vs_baseline`` is the speedup over a faithful NumPy
+re-creation of the reference's scoring loop (bq.py::choose_next →
+bq_c.pyx::expected_squared_mean: a per-candidate Python loop doing the
+rank-1 Schur update against a precomputed Cholesky factor), measured on this
+machine's CPU in float64 — the reference itself publishes no numbers
+(BASELINE.json "published": {}) and the mount was empty, so this proxy is
+the measured baseline. Target: vs_baseline > 100.
+
+Timing methodology: enqueue K async dispatches, block once, divide — the
+remote-tunnel TPU pays ~30 ms RTT per *blocking* call, which would measure
+the network, not the chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_GRID = 10_000
+N_OBS = 10
+K_ENQUEUE = 50
+REPEATS = 5
+
+
+def _problem():
+    x = np.linspace(-2.2, 2.2, N_OBS)
+    l = np.exp(-0.5 * (x - 0.2) ** 2 / 0.25) / np.sqrt(2 * np.pi * 0.25)
+    return x, l
+
+
+# --------------------------------------------------------------------------
+# Reference-style CPU baseline: sequential per-candidate loop (float64 NumPy,
+# standing in for the reference's Cython-backed loop).
+# --------------------------------------------------------------------------
+
+
+def _reference_cpu_proxy(n_time=300):
+    from scipy.linalg import cho_factor, cho_solve
+
+    x, l = _problem()
+    tl = np.log1p(l)
+    h_l, w_l = 0.3, 0.4
+    h_tl, w_tl = 0.7, 0.8
+
+    def gram(h, w, a, b):
+        return h**2 * np.exp(-0.5 * (a[:, None] - b[None, :]) ** 2 / w**2)
+
+    # candidates + combined set, as the reference's init builds them
+    xc = np.linspace(x.min(), x.max(), 12)
+    keep = np.min(np.abs(xc[:, None] - x[None, :]), axis=1) >= 0.2
+    xc = xc[keep]
+    lc = np.expm1(
+        gram(h_tl, w_tl, xc, x) @ np.linalg.solve(gram(h_tl, w_tl, x, x) + 1e-10 * np.eye(len(x)), tl)
+    )
+    xsc = np.concatenate([x, xc])
+    lsc = np.concatenate([l, lc])
+    K = gram(h_l, w_l, xsc, xsc) + 1e-10 * np.eye(len(xsc))
+    cf = cho_factor(K)
+    alpha = cho_solve(cf, lsc)
+    Ktl = gram(h_tl, w_tl, x, x) + 1e-10 * np.eye(len(x))
+    cf_tl = cho_factor(Ktl)
+    alpha_tl = cho_solve(cf_tl, tl)
+
+    s2 = 0.25 + 1.0  # int_K scale pieces (w_l^2 + sigma^2)
+
+    def int_K(xa):
+        return h_l**2 * w_l / np.sqrt(w_l**2 + 1.0) * np.exp(-0.5 * xa**2 / (w_l**2 + 1.0))
+
+    z = int_K(xsc)
+    zTa = z @ alpha
+
+    def esm_one(xa):
+        # the per-point body the reference runs 1e4 times in Python/Cython
+        k = h_l**2 * np.exp(-0.5 * (xsc - xa) ** 2 / w_l**2)
+        v = cho_solve(cf, k)
+        gam = h_l**2 - k @ v
+        if gam <= 1e-14:
+            return zTa**2
+        B = (int_K(np.asarray(xa)) - z @ v) / gam
+        A = zTa - B * (k @ alpha)
+        ktl = h_tl**2 * np.exp(-0.5 * (x - xa) ** 2 / w_tl**2)
+        m_a = ktl @ alpha_tl
+        c_a = max(h_tl**2 - ktl @ cho_solve(cf_tl, ktl), 0.0)
+        E1 = np.expm1(m_a + 0.5 * c_a)
+        E2 = np.exp(2 * m_a + 2 * c_a) - 2 * np.exp(m_a + 0.5 * c_a) + 1
+        return A**2 + 2 * A * B * E1 + B**2 * E2
+
+    grid = np.linspace(-4, 4, n_time)
+    esm_one(0.5)  # warm
+    t0 = time.perf_counter()
+    for xa in grid:
+        esm_one(xa)
+    dt = time.perf_counter() - t0
+    return n_time / dt  # points/s
+
+
+# --------------------------------------------------------------------------
+# tpubq on the default device
+# --------------------------------------------------------------------------
+
+
+def _tpubq_throughput():
+    import jax
+    import jax.numpy as jnp
+
+    import tpubq  # noqa: F401  (x64 + matmul precision config)
+    from tpubq.models import acquire, bq as bqm
+    from tpubq.utils.options import BQOptions
+
+    platform = jax.devices()[0].platform
+    dtype = "float32" if platform != "cpu" else "float64"
+    opts = BQOptions(n_candidate=12, candidate_thresh=0.2, max_obs=16, dtype=dtype)
+    x, l = _problem()
+    state = bqm.init_state(
+        x, l, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4), x_mean=[0.0], x_var=[[1.0]]
+    )
+    esm = jax.jit(acquire.expected_squared_mean, static_argnums=1)
+    grid = jax.device_put(
+        jnp.asarray(np.linspace(-4, 4, N_GRID), opts.np_dtype)[:, None]
+    )
+    state = jax.device_put(state)
+    out = esm(state, opts, grid)
+    out.block_until_ready()  # compile
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(K_ENQUEUE):
+            out = esm(state, opts, grid)
+        out.block_until_ready()
+        times.append((time.perf_counter() - t0) / K_ENQUEUE)
+    dt = float(np.median(times))
+    assert bool(np.all(np.isfinite(np.asarray(out)))), "non-finite ESM scores"
+    return N_GRID / dt, platform
+
+
+def main():
+    value, platform = _tpubq_throughput()
+    baseline = _reference_cpu_proxy()
+    print(
+        json.dumps(
+            {
+                "metric": f"esm_candidate_scoring_{N_GRID}grid_{platform}",
+                "value": round(value, 1),
+                "unit": "points/s",
+                "vs_baseline": round(value / baseline, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -153,6 +153,11 @@ def _fit_gps(state: BQState, opts: BQOptions, ladder: bool = True) -> BQState:
     return state._replace(tl_s=tl_s, x_c=x_c, l_c=l_c, c_mask=c_mask, gp_log_l=gp_tl, gp_l=gp_l)
 
 
+# Jitted spelling for eager call sites (init_state, the BQ wrapper): one
+# dispatch instead of hundreds of tunneled ops.
+_fit_gps_jit = jax.jit(_fit_gps, static_argnums=(1, 2))
+
+
 def init_state(
     x,
     l,
@@ -236,7 +241,7 @@ def init_state(
         gp_log_l=empty_gp_tl,
         gp_l=empty_gp_l,
     )
-    return _fit_gps(state, opts)
+    return _fit_gps_jit(state, opts, True)
 
 
 def set_params(state: BQState, opts: BQOptions, theta_tl=None, theta_l=None, ladder=True) -> BQState:
@@ -247,7 +252,7 @@ def set_params(state: BQState, opts: BQOptions, theta_tl=None, theta_l=None, lad
         gp_tl = gp_tl._replace(theta=jnp.asarray(theta_tl, state.x_s.dtype))
     if theta_l is not None:
         gp_l = gp_l._replace(theta=jnp.asarray(theta_l, state.x_s.dtype))
-    return _fit_gps(state._replace(gp_log_l=gp_tl, gp_l=gp_l), opts, ladder=ladder)
+    return _fit_gps_jit(state._replace(gp_log_l=gp_tl, gp_l=gp_l), opts, ladder)
 
 
 # ---------------------------------------------------------------------------
