@@ -1,0 +1,97 @@
+"""Pallas TPU kernels vs the pure-XLA references (interpret mode on CPU; the
+same tests run compiled when TPUBQ_TEST_TPU=1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpubq.models import gp as gpm
+from tpubq.ops import pallas_kernels as pk
+from tpubq.ops.kernels import gaussian_K, get_kernel
+
+RNG = np.random.RandomState(7)
+KFN, _ = get_kernel("gaussian")
+
+
+def test_gram_matches_xla():
+    theta = jnp.asarray([1.3, 0.7], jnp.float32)
+    x1 = jnp.asarray(RNG.randn(50, 1), jnp.float32)
+    x2 = jnp.asarray(RNG.randn(300, 1), jnp.float32)
+    G = pk.gaussian_gram(theta, x1, x2)
+    G0 = gaussian_K(theta, x1, x2)
+    np.testing.assert_allclose(np.asarray(G), np.asarray(G0), atol=1e-6)
+
+
+def test_gram_multidim():
+    theta = jnp.asarray([0.9, 0.5, 1.1, 0.8], jnp.float32)
+    x1 = jnp.asarray(RNG.randn(20, 3), jnp.float32)
+    x2 = jnp.asarray(RNG.randn(40, 3), jnp.float32)
+    G = pk.gaussian_gram(theta, x1, x2)
+    G0 = gaussian_K(theta, x1, x2)
+    np.testing.assert_allclose(np.asarray(G), np.asarray(G0), atol=1e-6)
+
+
+def test_cholesky_batched_matches_lapack():
+    B, N = 9, 21
+    Ks = []
+    for _ in range(B):
+        A = RNG.randn(N, N)
+        Ks.append(A @ A.T + N * np.eye(N))
+    Ks = jnp.asarray(np.stack(Ks), jnp.float32)
+    Ls = np.asarray(pk.cholesky_batched(Ks))
+    want = np.linalg.cholesky(np.asarray(Ks, np.float64))
+    np.testing.assert_allclose(Ls, want, atol=5e-5)
+    # strictly lower-triangular factor
+    assert np.allclose(Ls, np.tril(Ls))
+
+
+def test_mll_grad_matches_autodiff():
+    n = 11
+    x = jnp.asarray(np.sort(RNG.randn(n))[:, None], jnp.float32)
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, 0])) + 0.05 * RNG.randn(n), jnp.float32)
+    mask = jnp.ones(n, bool)
+    thetas = jnp.asarray([[1.2, 0.8], [0.5, 1.5], [2.0, 0.3]], jnp.float32)
+    mll, grad = pk.mll_grad_batched(thetas, 0.1, x, y, mask, jitter=0.0)
+    x64 = jnp.asarray(x, jnp.float64)
+    y64 = jnp.asarray(y, jnp.float64)
+    for i, th in enumerate(np.asarray(thetas, np.float64)):
+        m0 = float(gpm.log_mll(KFN, jnp.asarray(th), 0.1, x64, y64, mask, 0.0))
+        g0 = np.asarray(gpm.dlog_mll(KFN, jnp.asarray(th), 0.1, x64, y64, mask, 0.0))
+        np.testing.assert_allclose(float(mll[i]), m0, rtol=5e-4)
+        np.testing.assert_allclose(np.asarray(grad[i]), g0, rtol=5e-3, atol=1e-3)
+
+
+def test_mll_grad_masked_pad_invariance():
+    n, pad = 9, 5
+    x = np.sort(RNG.randn(n))
+    y = np.cos(x)
+    xp = jnp.asarray(np.concatenate([x, RNG.randn(pad)])[:, None], jnp.float32)
+    yp = jnp.asarray(np.concatenate([y, RNG.randn(pad)]), jnp.float32)
+    mask = jnp.asarray(np.arange(n + pad) < n)
+    thetas = jnp.asarray([[1.0, 0.7]], jnp.float32)
+    mll_p, grad_p = pk.mll_grad_batched(thetas, 0.05, xp, yp, mask, jitter=0.0)
+    mll_u, grad_u = pk.mll_grad_batched(
+        thetas, 0.05, jnp.asarray(x[:, None], jnp.float32), jnp.asarray(y, jnp.float32),
+        jnp.ones(n, bool), jitter=0.0,
+    )
+    np.testing.assert_allclose(float(mll_p[0]), float(mll_u[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_u), rtol=1e-4)
+
+
+def test_fused_fit_improves_mll():
+    from tpubq.models import fit as fitm
+
+    rng = np.random.RandomState(3)
+    x = np.sort(rng.uniform(-3, 3, 14))[:, None]
+    h_true, w_true, s = 1.5, 0.7, 0.05
+    K = h_true**2 * np.exp(-0.5 * (x - x.T) ** 2 / w_true**2) + s**2 * np.eye(14)
+    y = np.linalg.cholesky(K) @ rng.randn(14)
+    xj = jnp.asarray(x, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+    mask = jnp.ones(14, bool)
+    theta0 = jnp.asarray([0.3, 2.5], jnp.float32)
+    mll0, _ = pk.mll_grad_batched(theta0[None], s, xj, yj, mask)
+    theta, mll = fitm.fit_params_fused(theta0, s, xj, yj, mask, jax.random.PRNGKey(0))
+    assert float(mll) > float(mll0[0])
+    assert np.all(np.asarray(theta) > 0)
+    assert 0.2 < float(theta[1]) < 2.5

@@ -108,3 +108,55 @@ def fit_params(
     vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
     best = jnp.argmin(vals)
     return jnp.exp(u_final[best]), -vals[best]
+
+
+@partial(jax.jit, static_argnames=("n_iter", "interpret"))
+def fit_params_fused(
+    theta0,
+    s,
+    x,
+    y,
+    mask,
+    key,
+    restart_inits=None,
+    n_iter: int = 150,
+    lr: float = 0.05,
+    jitter: float = 1e-7,
+    interpret=None,
+):
+    """Multi-restart fit driven by the fused Pallas MLL+grad kernel.
+
+    All restarts advance together: each optimizer iteration is ONE kernel
+    launch (tpubq.ops.pallas_kernels.mll_grad_batched) evaluating every
+    restart's masked MLL and analytic gradient on-chip, stepped by Adam in
+    log-space. Gaussian kernel, 1-D x (the reference's fit regime); the
+    autodiff path (fit_params) remains the general/f64 route.
+    Returns (theta_best, mll_best).
+    """
+    import optax as _optax
+
+    from tpubq.ops import pallas_kernels as pk
+
+    if restart_inits is None:
+        restart_inits = random_restarts(key, theta0, x, y, mask, 10)
+    us = restart_inits.astype(x.dtype)
+    opt = _optax.adam(lr)
+    opt_state = opt.init(us)
+
+    def step(carry, _):
+        us, opt_state = carry
+        mll, g_theta = pk.mll_grad_batched(
+            jnp.exp(us), s, x, y, mask, jitter=jitter, interpret=interpret
+        )
+        # chain rule to log-space; ascend MLL = descend -MLL
+        g_u = -g_theta * jnp.exp(us)
+        g_u = jnp.where(jnp.isfinite(g_u), g_u, 0.0)
+        updates, opt_state = opt.update(g_u, opt_state, us)
+        us = _optax.apply_updates(us, updates)
+        return (us, opt_state), None
+
+    (us, _), _ = jax.lax.scan(step, (us, opt_state), None, length=n_iter)
+    mll, _ = pk.mll_grad_batched(jnp.exp(us), s, x, y, mask, jitter=jitter, interpret=interpret)
+    mll = jnp.where(jnp.isfinite(mll), mll, -jnp.inf)
+    best = jnp.argmax(mll)
+    return jnp.exp(us[best]), mll[best]

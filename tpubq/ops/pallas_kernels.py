@@ -1,0 +1,289 @@
+"""Pallas TPU kernels for the hot numeric paths.
+
+Reference parity: these replace the reference's native (Cython) layer —
+kernel evaluation loops in the ``gp`` package's extensions and the
+factorization-heavy inner loops behind ``bq_c.pyx`` — with on-chip TPU
+kernels (BASELINE.json north star: "Pallas kernels for Gaussian-kernel Gram
+construction, blocked Cholesky factor/solve, and fused marginal-log-
+likelihood + gradient"):
+
+  * ``gaussian_gram``: tiled Gram construction, one VMEM-resident
+    (TM × TN) tile per program; the big (n_data × n_grid) cross-Grams of
+    candidate scoring stream through without materializing intermediates.
+  * ``cholesky_batched``: the batched factorization behind hyperparameter
+    marginalization. One program per matrix; a fully vectorized column
+    Cholesky (rank-1 updates as full-tile VPU/MXU ops) runs in VMEM.
+  * ``mll_grad_batched``: the fused fit objective. Per hyper-setting
+    (one program each): build the Gram from x, factor it, invert via
+    forward substitution, and emit the masked log marginal likelihood AND
+    its analytic (h, w)-gradient via the trace identity
+    dMLL/dθ = -1/2 tr[(K⁻¹ - ααᵀ) ∂K/∂θ] — one kernel launch replaces the
+    XLA chol→solve→logdet→autodiff pipeline per L-BFGS evaluation.
+
+All kernels run in interpret mode off-TPU (CPU tests exercise the same
+code); wrappers pad shapes to tile boundaries with identity rows (the
+pad_gram convention of tpubq.ops.linalg).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["gaussian_gram", "cholesky_batched", "mll_grad_batched", "on_tpu"]
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+def on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _interpret(flag):
+    return (not on_tpu()) if flag is None else flag
+
+
+class _x64_off:
+    """Trace pallas_call with x64 disabled: the package enables global x64
+    (parity paths), but Mosaic requires i32 grid/index arithmetic, and these
+    kernels are explicitly f32. Used as `with _x64_off(): ...` at trace time.
+    """
+
+    def __enter__(self):
+        self._cm = jax.enable_x64(False)
+        return self._cm.__enter__()
+
+    def __exit__(self, *a):
+        return self._cm.__exit__(*a)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Gram construction
+# ---------------------------------------------------------------------------
+
+
+def _gram_kernel(h2_ref, a_ref, b_ref, o_ref):
+    a = a_ref[:]  # (TM, d) pre-scaled by 1/w
+    b = b_ref[:]  # (TN, d)
+    d = a.shape[1]
+    r2 = jnp.zeros((a.shape[0], b.shape[0]), dtype=a.dtype)
+    for k in range(d):  # d is tiny and static — unrolled VPU passes
+        diff = a[:, k][:, None] - b[:, k][None, :]
+        r2 = r2 + diff * diff
+    o_ref[:] = h2_ref[0, 0] * jnp.exp(-0.5 * r2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def gaussian_gram(theta, x1, x2, interpret=None, tile=128):
+    """Gaussian Gram k(x1, x2) as a tiled Pallas kernel → (n1, n2).
+
+    Same contract as tpubq.ops.kernels.gaussian_K (reference:
+    gp/kernels/gaussian.py), computed tile-by-tile in VMEM.
+    """
+    dtype = x1.dtype
+    h = theta[0]
+    w = theta[1:]
+    n1, d = x1.shape
+    n2 = x2.shape[0]
+    m1, m2 = _round_up(n1, tile), _round_up(n2, tile)
+    a = jnp.zeros((m1, d), dtype).at[:n1].set(x1 / w)
+    b = jnp.zeros((m2, d), dtype).at[:n2].set(x2 / w)
+    h2 = jnp.reshape(h * h, (1, 1)).astype(dtype)
+
+    with _x64_off():
+        out = pl.pallas_call(
+            _gram_kernel,
+            out_shape=jax.ShapeDtypeStruct((m1, m2), dtype),
+            grid=(m1 // tile, m2 // tile),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            interpret=_interpret(interpret),
+        )(h2, a, b)
+    return out[:n1, :n2]
+
+
+# ---------------------------------------------------------------------------
+# Batched Cholesky (column algorithm, full-tile vector ops)
+# ---------------------------------------------------------------------------
+
+
+def _chol_body(A, N, dtype):
+    """Vectorized column Cholesky of one (N, N) tile; returns lower L."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    colr = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+
+    def body(j, L):
+        # L[j, :j] as a (1, N) row
+        lrow = jnp.sum(jnp.where(rows == j, L, 0.0), axis=0, keepdims=True)
+        lrow = jnp.where(colr < j, lrow, 0.0)
+        # v = L @ L[j,:j]^T — the accumulated inner products for column j
+        v = jnp.dot(L, lrow.T, preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST)  # (N, 1)
+        acol = jnp.sum(jnp.where(cols == j, A, 0.0), axis=1, keepdims=True)
+        c = acol - v
+        cjj = jnp.sum(jnp.where(rowv == j, c, 0.0))
+        piv = jnp.sqrt(jnp.maximum(cjj, tiny))
+        lcol = jnp.where(rowv == j, piv, jnp.where(rowv > j, c / piv, 0.0))
+        return L + lcol * (colr == j).astype(dtype)
+
+    return jax.lax.fori_loop(0, N, body, jnp.zeros((N, N), dtype))
+
+
+def _chol_kernel(a_ref, l_ref):
+    A = a_ref[0]
+    l_ref[0] = _chol_body(A, A.shape[0], A.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cholesky_batched(Ks, interpret=None):
+    """Lower Cholesky factors of a batch of SPD matrices → (B, N, N).
+
+    One grid program per matrix: the batched-factorization engine for
+    hyperparameter marginalization (reference: the per-sample LAPACK
+    refactorization loop in bq.py::BQ.marginalize, here one kernel launch
+    for the whole sample batch).
+    """
+    B, N, _ = Ks.shape
+    Np = _round_up(N, 8)
+    if Np != N:
+        eye = jnp.eye(Np, dtype=Ks.dtype)
+        Kp = jnp.tile(eye[None], (B, 1, 1))
+        Kp = Kp.at[:, :N, :N].set(Ks)
+    else:
+        Kp = Ks
+    with _x64_off():
+        out = pl.pallas_call(
+            _chol_kernel,
+            out_shape=jax.ShapeDtypeStruct((B, Np, Np), Ks.dtype),
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, Np, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, Np, Np), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            interpret=_interpret(interpret),
+        )(Kp)
+    return out[:, :N, :N]
+
+
+# ---------------------------------------------------------------------------
+# Fused MLL + gradient (batched over hyper settings)
+# ---------------------------------------------------------------------------
+
+
+def _tri_inv_body(L, N, dtype):
+    """Y = L^{-1} by forward substitution, one row per step (full-tile ops)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    colr = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+
+    def body(j, Y):
+        lrow = jnp.sum(jnp.where(rows == j, L, 0.0), axis=0, keepdims=True)  # (1,N)
+        ljj = jnp.sum(jnp.where(colr == j, lrow, 0.0))
+        lrow_lt = jnp.where(colr < j, lrow, 0.0)
+        contrib = jnp.dot(lrow_lt, Y, preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST)  # (1, N)
+        e_row = (colr == j).astype(dtype)
+        yrow = (e_row - contrib) / ljj
+        return Y + jnp.where(rows == j, jnp.broadcast_to(yrow, (N, N)), 0.0)
+
+    return jax.lax.fori_loop(0, N, body, jnp.zeros((N, N), dtype))
+
+
+def _mll_kernel(s2_ref, jit_ref, t_ref, x_ref, y_ref, m_ref, mll_ref, g_ref):
+    dtype = x_ref.dtype
+    x = x_ref[:]  # (N, 1)
+    y = y_ref[:]  # (N, 1)
+    m = m_ref[:]  # (N, 1) float mask
+    N = x.shape[0]
+    b = pl.program_id(0)
+    h = t_ref[b, 0]
+    w = t_ref[b, 1]
+    s2 = s2_ref[0, 0]
+    jitter = jit_ref[0, 0]
+
+    mm = m * m.T  # (N, N) pairwise live mask
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    ).astype(dtype)
+    diff = (x - x.T) / w
+    r2 = diff * diff
+    K0 = (h * h) * jnp.exp(-0.5 * r2) * mm  # kernel part (live block only)
+    K = K0 + eye * (1.0 - m) + eye * (s2 + jitter * h * h) * m
+
+    L = _chol_body(K, N, dtype)
+    Y = _tri_inv_body(L, N, dtype)
+    Kinv = jnp.dot(Y.T, Y, preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST)
+    alpha = jnp.dot(Kinv, y, preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST)  # (N, 1)
+    quad = jnp.sum(y * alpha)
+    diagL = jnp.sum(L * eye, axis=1, keepdims=True)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.where(m > 0, diagL, 1.0)))
+    n_live = jnp.sum(m)
+    mll = -0.5 * (quad + logdet + n_live * _LOG2PI)
+    mll_ref[b, 0] = mll
+
+    # analytic gradient: dMLL/dθ = -1/2 tr[(K^{-1} - α αᵀ) ∂K/∂θ]
+    G = Kinv - alpha * alpha.T
+    dKdh = (2.0 / h) * K0 + eye * (2.0 * jitter * h) * m
+    dKdw = K0 * r2 / w
+    g_ref[b, 0] = -0.5 * jnp.sum(G * dKdh)
+    g_ref[b, 1] = -0.5 * jnp.sum(G * dKdw)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mll_grad_batched(thetas, s, x, y, mask, jitter=1e-10, interpret=None):
+    """Masked log-MLL and its (h, w) gradient for a batch of hyper settings.
+
+    thetas: (B, 2) positive (h, w); x: (n, 1); y: (n,); mask: (n,) bool.
+    Returns (mll: (B,), grad: (B, 2)). Fuses Gram construction, Cholesky,
+    inverse, log-det and the trace-identity gradient into one kernel program
+    per batch element (replaces gp/gp.py::GP.log_lh + dloglh_dtheta per
+    restart). Note: ``jitter`` is relative to h² (the live diagonal), matching
+    cholesky_fixed's mean-diagonal scaling for gaussian kernels.
+    """
+    dtype = x.dtype
+    B = thetas.shape[0]
+    n = x.shape[0]
+    Np = _round_up(n, 8)
+    xp = jnp.zeros((Np, 1), dtype).at[:n, 0].set(x[:, 0])
+    yp = jnp.zeros((Np, 1), dtype).at[:n, 0].set(jnp.where(mask, y, 0.0))
+    mp = jnp.zeros((Np, 1), dtype).at[:n, 0].set(mask.astype(dtype))
+    s2 = jnp.full((1, 1), s * s, dtype)
+    jit_arr = jnp.full((1, 1), jitter, dtype)
+
+    with _x64_off():
+        mll, grad = pl.pallas_call(
+            _mll_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, 1), dtype),
+                jax.ShapeDtypeStruct((B, 2), dtype),
+            ),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((Np, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Np, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Np, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            interpret=_interpret(interpret),
+        )(s2, jit_arr, thetas.reshape(B, 2), xp, yp, mp)
+    return mll[:, 0], grad
