@@ -234,3 +234,32 @@ def test_Z_var_f32_positive_and_accurate():
     v64 = bq64.Z_var()
     assert v32 >= 0.0
     assert abs(v32 - v64) / abs(v64) < 5e-2
+
+
+def test_periodic_kernel_bq_end_to_end():
+    """Non-Gaussian kernel family: Z paths run via GH quadrature
+    (reference: gp/kernels/periodic.py used on circular domains)."""
+    import tpubq
+
+    x = np.linspace(-2.0, 2.0, 9)
+    l = np.exp(np.cos(x))  # positive, 2π-periodic integrand
+    bq = tpubq.BQ(x, l, kernel="periodic", n_candidate=10, candidate_thresh=0.2,
+                  x_mean=0.0, x_var=1.0, max_obs=16)
+    bq.init(params_tl=(1.0, 1.0, 1.0), params_l=(1.0, 1.0, 1.0))
+    zm = bq.Z_mean()
+    zv = bq.Z_var()
+    # truth: ∫ e^{cos x} N(x|0,1) dx via dense quadrature
+    xo = np.linspace(-8, 8, 20001)
+    p = np.exp(-0.5 * xo**2) / np.sqrt(2 * np.pi)
+    z_true = np.trapezoid(np.exp(np.cos(xo)) * p, xo)
+    assert abs(zm - z_true) / z_true < 5e-2
+    assert zv >= 0
+    # quadrature twin agreement
+    zm_a = float(bqm.approx_Z_mean(bq.state, bq.options, tu.make_xo()))
+    np.testing.assert_allclose(zm, zm_a, rtol=1e-6)
+    # ESM + choose_next run
+    grid = np.linspace(-3, 3, 41)
+    esm = bq.expected_squared_mean(grid)
+    assert np.all(np.isfinite(esm))
+    xn = bq.choose_next(grid)
+    assert np.any(np.isclose(grid, xn))

@@ -1,0 +1,3 @@
+from tpubq.models import bq, gp
+
+__all__ = ["bq", "gp"]

@@ -36,7 +36,14 @@ import jax
 import jax.numpy as jnp
 
 from tpubq.models import gp as gpm
-from tpubq.models.bq import BQState, Z_mean, Z_var, _fit_gps, _theta_hw, log_transform
+from tpubq.models.bq import (
+    BQState,
+    Z_mean,
+    Z_var,
+    _fit_gps,
+    int_K_measure,
+    log_transform,
+)
 from tpubq.ops import integrals as igr
 from tpubq.ops import linalg
 from tpubq.ops.kernels import get_kernel
@@ -73,15 +80,13 @@ def expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
     x_a = jnp.asarray(x_a, dtype)
     if x_a.ndim == 1:
         x_a = x_a[:, None]
-    mu, Sig = state.x_mean, state.x_var
-    h_l, w_l = _theta_hw(state.gp_l.theta)
     m_sc = state.sc_mask
     gp_l = state.gp_l
     alpha = gp_l.alpha
 
     # z = ∫ k_l(x', x_sc) p dx', ζ = ∫ k_l(x', x_a) p dx'
-    z = igr.int_K(state.x_sc, h_l, w_l, mu, Sig) * m_sc.astype(dtype)
-    zeta = igr.int_K(x_a, h_l, w_l, mu, Sig)
+    z = int_K_measure(state, opts, gp_l.theta, state.x_sc) * m_sc.astype(dtype)
+    zeta = int_K_measure(state, opts, gp_l.theta, x_a)
     zTalpha = jnp.dot(z, alpha)
 
     # Batched rank-1 Schur pieces over the candidate axis.
@@ -123,13 +128,11 @@ def approx_expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.nd
     gh_x = jnp.asarray(gh_x, dtype)
     gh_w = jnp.asarray(gh_w / np.sqrt(2.0 * np.pi), dtype)
 
-    mu, Sig = state.x_mean, state.x_var
-    h_l, w_l = _theta_hw(state.gp_l.theta)
     m_sc = state.sc_mask
     gp_l = state.gp_l
     alpha = gp_l.alpha
-    z = igr.int_K(state.x_sc, h_l, w_l, mu, Sig) * m_sc.astype(dtype)
-    zeta = igr.int_K(x_a, h_l, w_l, mu, Sig)
+    z = int_K_measure(state, opts, gp_l.theta, state.x_sc) * m_sc.astype(dtype)
+    zeta = int_K_measure(state, opts, gp_l.theta, x_a)
     zTalpha = jnp.dot(z, alpha)
     k_a = kfn(gp_l.theta, state.x_sc, x_a) * m_sc.astype(dtype)[:, None]
     v = linalg.chol_solve(gp_l.L, k_a)

@@ -193,18 +193,21 @@ class BQ:
         st = self.state
         opts = self.options
         k1, k2, k3, k4 = jax.random.split(self._key(seed), 4)
-        inits_tl = fitm.random_restarts(
-            k1, st.gp_log_l.theta, st.x_s, st.tl_s, st.obs_mask, ntry
-        )
-        theta_tl, mll_tl = fitm.fit_params(
-            opts.kernel, st.gp_log_l.theta, st.gp_log_l.s, st.x_s, st.tl_s,
-            st.obs_mask, k2, inits_tl,
+        fused = opts.use_pallas and opts.kernel == "gaussian" and opts.dim == 1
+
+        def _fit(key_r, key_f, theta, s, x, y, mask):
+            inits = fitm.random_restarts(key_r, theta, x, y, mask, ntry)
+            if fused:
+                return fitm.fit_params_fused(theta, s, x, y, mask, key_f, inits)
+            return fitm.fit_params(opts.kernel, theta, s, x, y, mask, key_f, inits)
+
+        theta_tl, mll_tl = _fit(
+            k1, k2, st.gp_log_l.theta, st.gp_log_l.s, st.x_s, st.tl_s, st.obs_mask
         )
         st = _set_params(st, opts, theta_tl)
         l_sc = jnp.where(st.sc_mask, st.l_sc, 0.0)
-        inits_l = fitm.random_restarts(k3, st.gp_l.theta, st.x_sc, l_sc, st.sc_mask, ntry)
-        theta_l, mll_l = fitm.fit_params(
-            opts.kernel, st.gp_l.theta, st.gp_l.s, st.x_sc, l_sc, st.sc_mask, k4, inits_l,
+        theta_l, mll_l = _fit(
+            k3, k4, st.gp_l.theta, st.gp_l.s, st.x_sc, l_sc, st.sc_mask
         )
         self._state = _set_params(st, opts, None, theta_l)
         logger.debug("fit_hypers: theta_tl=%s (mll=%.4f) theta_l=%s (mll=%.4f)",

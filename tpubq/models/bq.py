@@ -261,13 +261,40 @@ def set_params(state: BQState, opts: BQOptions, theta_tl=None, theta_l=None, lad
 
 
 def _theta_hw(theta):
-    return theta[0], theta[1:]
+    return theta[0], theta[1:2] if theta.shape[0] == 2 else theta[1:]
+
+
+def _gh_nodes(state: BQState, opts: BQOptions):
+    """Gauss–Hermite nodes/weights of the 1-D measure N(x_mean, x_var)."""
+    import numpy as np
+
+    dtype = state.x_s.dtype
+    t, w = np.polynomial.hermite_e.hermegauss(opts.n_gh)
+    t = jnp.asarray(t, dtype)
+    w = jnp.asarray(w / np.sqrt(2.0 * np.pi), dtype)
+    sig = jnp.sqrt(state.x_var[0, 0])
+    return (state.x_mean[0] + sig * t)[:, None], w
+
+
+def int_K_measure(state: BQState, opts: BQOptions, theta, x) -> jnp.ndarray:
+    """∫ k(x', x_i) p(x') dx' for the configured kernel family.
+
+    Gaussian kernels use the closed form (bq_c.pyx::int_K); other kernels
+    (periodic — reference gp/kernels/periodic.py) fall back to Gauss–Hermite
+    quadrature over the measure (1-D), which is what makes non-Gaussian
+    kernel families first-class in every Z/ESM path.
+    """
+    if opts.kernel == "gaussian":
+        h, w = _theta_hw(theta)
+        return igr.int_K(x, h, w, state.x_mean, state.x_var)
+    kfn, _ = get_kernel(opts.kernel)
+    nodes, gw = _gh_nodes(state, opts)
+    return kfn(theta, x, nodes) @ gw
 
 
 def Z_mean(state: BQState, opts: BQOptions) -> jnp.ndarray:
     """E[Z] = α_l · int_K(x_sc) (bq.py::BQ.Z_mean, bq_c.pyx::Z_mean)."""
-    h_l, w_l = _theta_hw(state.gp_l.theta)
-    z = igr.int_K(state.x_sc, h_l, w_l, state.x_mean, state.x_var)
+    z = int_K_measure(state, opts, state.gp_l.theta, state.x_sc)
     z = jnp.where(state.sc_mask, z, 0.0)
     return jnp.dot(z, state.gp_l.alpha)
 
@@ -281,6 +308,8 @@ def Z_var(state: BQState, opts: BQOptions) -> jnp.ndarray:
     amplified by large α entries) exceeds f32 precision — observed to drive
     V[Z] negative on hardware.
     """
+    if opts.kernel != "gaussian":
+        return Z_var_gh(state, opts)  # kernel-agnostic quadrature form
     if opts.dtype == "float32" and opts.dim == 1:
         return Z_var_gh(state, opts)
     return Z_var_exact(state, opts)
@@ -332,15 +361,8 @@ def Z_var_gh(state: BQState, opts: BQOptions) -> jnp.ndarray:
     O(h²)-bounded, so this is the numerically stable form for float32; in
     float64 it agrees with Z_var_exact to quadrature precision (tested).
     """
-    import numpy as np
-
     kfn, _ = get_kernel(opts.kernel)
-    dtype = state.x_s.dtype
-    t, w = np.polynomial.hermite_e.hermegauss(opts.n_gh)
-    t = jnp.asarray(t, dtype)
-    w = jnp.asarray(w / np.sqrt(2.0 * np.pi), dtype)
-    sig = jnp.sqrt(state.x_var[0, 0])
-    nodes = (state.x_mean[0] + sig * t)[:, None]
+    nodes, w = _gh_nodes(state, opts)
     m_l = gpm.gp_mean(kfn, state.gp_l, nodes) + state.gamma
     C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)
     a = w * m_l

@@ -1,0 +1,3 @@
+from tpubq.parallel import mesh, sharded
+
+__all__ = ["mesh", "sharded"]
