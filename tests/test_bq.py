@@ -263,3 +263,31 @@ def test_periodic_kernel_bq_end_to_end():
     assert np.all(np.isfinite(esm))
     xn = bq.choose_next(grid)
     assert np.any(np.isclose(grid, xn))
+
+
+def test_2d_bq_z_mean_against_truth():
+    """General-d closed forms: 2-D Gaussian integrand under a 2-D Gaussian
+    measure (the reference is 1-D; d>1 is a capability extension, candidates
+    supplied via a denser initial design)."""
+    import tpubq
+    from scipy import stats
+
+    rng = np.random.RandomState(0)
+    mu_l = np.array([0.2, -0.1])
+    S_l = np.diag([0.3, 0.5])
+    # observations on a 4x4 grid, plus jittered fill-ins
+    g = np.linspace(-1.8, 1.8, 4)
+    X = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+    X = np.concatenate([X, rng.uniform(-2, 2, (8, 2))], axis=0)
+    L = stats.multivariate_normal.pdf(X, mu_l, S_l)
+    bq = tpubq.BQ(X, L, dim=2, n_candidate=6, candidate_thresh=0.25,
+                  x_mean=np.zeros(2), x_var=np.eye(2), max_obs=32)
+    bq.init(params_tl=(0.5, 0.9, 0.9), params_l=(0.2, 0.5, 0.5))
+    zm = bq.Z_mean()
+    z_true = stats.multivariate_normal.pdf(mu_l, np.zeros(2), np.eye(2) + S_l)
+    assert abs(zm - z_true) / z_true < 0.1  # statistical accuracy @ 24 obs
+    assert np.isfinite(bq.Z_var())
+    # ESM over a 2-D grid works
+    gg = np.stack(np.meshgrid(np.linspace(-2, 2, 9), np.linspace(-2, 2, 9)), -1).reshape(-1, 2)
+    esm = bq.expected_squared_mean(gg)
+    assert esm.shape == (81,) and np.all(np.isfinite(esm))

@@ -1,0 +1,88 @@
+"""Reference-surface facades: GP class, kernel classes, remove_jitter,
+profiling timer (gp/gp.py::GP and gp/kernels/* parity)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpubq.models.gp import GP
+from tpubq.ops import linalg
+from tpubq.ops.kernels import GaussianKernel, PeriodicKernel
+
+RNG = np.random.RandomState(11)
+
+
+def _data(n=9):
+    x = np.sort(RNG.randn(n))
+    y = np.sin(2 * x) + 0.05 * RNG.randn(n)
+    return x, y
+
+
+def test_gp_class_surface():
+    x, y = _data()
+    gp = GP("gaussian", [1.1, 0.9], x, y, s=0.1)
+    xo = np.linspace(-2, 2, 7)
+    m = np.asarray(gp.mean(xo))
+    C = np.asarray(gp.cov(xo))
+    assert m.shape == (7,) and C.shape == (7, 7)
+    # numpy oracle
+    h, w, s = 1.1, 0.9, 0.1
+    Kxx = h**2 * np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2 / w**2) + s**2 * np.eye(len(x))
+    Kox = h**2 * np.exp(-0.5 * (xo[:, None] - x[None, :]) ** 2 / w**2)
+    np.testing.assert_allclose(m, Kox @ np.linalg.solve(Kxx, y), atol=1e-8)
+    # Kxx / inv_Kxx round-trip
+    KK = np.asarray(gp.Kxx)
+    Ki = np.asarray(gp.inv_Kxx)
+    np.testing.assert_allclose(KK @ Ki, np.eye(len(x)), atol=1e-6)
+    # log_lh + gradient finite; params set/get refits
+    assert np.isfinite(gp.log_lh)
+    assert gp.dloglh_dtheta.shape == (2,)
+    lh0 = gp.log_lh
+    gp2 = gp.copy()
+    gp2.params = [1.5, 0.5, 0.1]
+    assert gp2.log_lh != lh0
+    assert gp.log_lh == lh0  # copy isolated
+
+
+def test_kernel_class_jacobian_matches_fd():
+    x, _ = _data(5)
+    k = GaussianKernel(1.2, 0.7)
+    J = np.asarray(k.jacobian(x, x))
+    eps = 1e-6
+    for i, dp in enumerate(np.eye(2)):
+        kp = GaussianKernel(*(np.array([1.2, 0.7]) + eps * dp))
+        km = GaussianKernel(*(np.array([1.2, 0.7]) - eps * dp))
+        fd = (np.asarray(kp.K(x, x)) - np.asarray(km.K(x, x))) / (2 * eps)
+        np.testing.assert_allclose(J[i], fd, atol=1e-5)
+    H = np.asarray(k.hessian(x, x))
+    assert H.shape == (2, 2, 5, 5)
+    np.testing.assert_allclose(H[0, 1], H[1, 0], atol=1e-10)  # symmetric
+
+
+def test_periodic_kernel_class():
+    x, _ = _data(5)
+    k = PeriodicKernel(1.0, 0.8, 1.0)
+    K = np.asarray(k.K(x, x))
+    assert np.allclose(np.diag(K), 1.0)
+    assert np.asarray(k.jacobian(x, x)).shape == (3, 5, 5)
+
+
+def test_remove_jitter_roundtrip():
+    x = np.array([[0.0], [1e-9], [1.0]])
+    from tpubq.ops.kernels import gaussian_K
+
+    K = gaussian_K(jnp.asarray([1.0, 1.0]), jnp.asarray(x), jnp.asarray(x))
+    mask = jnp.ones(3, bool)
+    L, jit_used, ok = linalg.jitter_cholesky(K, mask)
+    K_conditioned = K + jnp.eye(3) * jit_used
+    back = linalg.remove_jitter(K_conditioned, jit_used, mask)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(K), atol=1e-14)
+
+
+def test_time_fn_runs():
+    import jax
+
+    from tpubq.utils.profiling import time_fn
+
+    f = jax.jit(lambda a: a @ a)
+    dt, out = time_fn(f, jnp.eye(16), iters=3, warmup=1, repeats=2)
+    assert dt > 0 and out.shape == (16, 16)

@@ -72,9 +72,9 @@ class BQ:
         if x.shape[0] != l.shape[0]:
             raise ValueError("x and l must have matching leading dimension")
 
-        self.x_mean = options.pop("x_mean", 0.0)
-        self.x_var = options.pop("x_var", 1.0)
-        self.gamma = float(options.pop("gamma", 1.0))
+        self._x_mean0 = options.pop("x_mean", 0.0)
+        self._x_var0 = options.pop("x_var", 1.0)
+        self._gamma0 = float(options.pop("gamma", 1.0))
         self.s_tl = float(options.pop("s", options.pop("s_tl", 0.0)))
         self.s_l = float(options.pop("s_l", self.s_tl))
         opt_kwargs = {k: options.pop(k) for k in list(options) if k in _OPTION_KEYS}
@@ -108,9 +108,9 @@ class BQ:
             params_l=params_l,
             s_tl=self.s_tl,
             s_l=self.s_l,
-            gamma=self.gamma,
-            x_mean=self.x_mean,
-            x_var=self.x_var,
+            gamma=self._gamma0,
+            x_mean=self._x_mean0,
+            x_var=self._x_var0,
         )
         self._initialized = True
         return self
@@ -161,6 +161,19 @@ class BQ:
     def l_sc(self) -> np.ndarray:
         st = self.state
         return np.asarray(st.l_sc)[np.asarray(st.sc_mask)]
+
+    @property
+    def gamma(self) -> float:
+        """Exp-transform constant γ (reference attr BQ.gamma)."""
+        return float(self.state.gamma) if self._state is not None else self._gamma0
+
+    @property
+    def x_mean(self) -> np.ndarray:
+        return np.asarray(self.state.x_mean)
+
+    @property
+    def x_var(self) -> np.ndarray:
+        return np.asarray(self.state.x_var)
 
     @property
     def gp_log_l(self):

@@ -136,3 +136,106 @@ def log_mll_by_name(kernel: str):
 def dlog_mll(kfn: Callable, theta, s, x, y, mask, jitter: float = 1e-12):
     """∂MLL/∂theta via autodiff (replaces gp/gp.py::GP.dloglh_dtheta)."""
     return jax.grad(lambda t: log_mll(kfn, t, s, x, y, mask, jitter))(theta)
+
+
+class GP:
+    """Object-style facade over the functional engine — gp/gp.py::GP parity.
+
+    The reference's users hold a ``GP(kernel, x, y, s)`` with cached
+    factorizations and ``params`` get/set; this wrapper provides that exact
+    surface (``mean``, ``cov``, ``Kxx``, ``inv_Kxx``, ``log_lh``,
+    ``dloglh_dtheta``, ``params``, ``copy``) on top of the immutable
+    ``GPState``. New code should prefer the functional API.
+    """
+
+    def __init__(self, kernel, theta, x, y, s=0.0, jitter: float = 1e-12):
+        import numpy as np
+
+        from tpubq.ops.kernels import get_kernel
+
+        self.kernel = kernel
+        self._kfn, self._kdiagfn = get_kernel(kernel)
+        self._jitter = jitter
+        x = jnp.asarray(x, jnp.result_type(float))
+        if x.ndim == 1:
+            x = x[:, None]
+        y = jnp.asarray(y, x.dtype)
+        mask = jnp.ones(x.shape[0], bool)
+        self._state = gp_fit(
+            self._kfn, jnp.asarray(theta, x.dtype), s, x, y, mask, jitter
+        )
+
+    # -- reference surface -------------------------------------------------
+    @property
+    def x(self):
+        return self._state.x
+
+    @property
+    def y(self):
+        return self._state.y
+
+    @property
+    def s(self):
+        return float(self._state.s)
+
+    @property
+    def params(self):
+        """(theta..., s) like the reference's params vector."""
+        import numpy as np
+
+        return np.concatenate([np.asarray(self._state.theta), [self.s]])
+
+    @params.setter
+    def params(self, p):
+        p = jnp.asarray(p, self._state.x.dtype)
+        self._state = gp_fit(
+            self._kfn, p[:-1], p[-1], self._state.x, self._state.y,
+            self._state.mask, self._jitter,
+        )
+
+    @property
+    def Kxx(self):
+        return _gram(self._kfn, self._state.theta, self._state.s, self._state.x,
+                     self._state.mask)
+
+    @property
+    def inv_Kxx(self):
+        from tpubq.ops import linalg as _linalg
+
+        n = self._state.x.shape[0]
+        return _linalg.chol_solve(self._state.L, jnp.eye(n, dtype=self._state.x.dtype))
+
+    def mean(self, xo):
+        xo = jnp.asarray(xo, self._state.x.dtype)
+        if xo.ndim == 1:
+            xo = xo[:, None]
+        return gp_mean(self._kfn, self._state, xo)
+
+    def cov(self, xo):
+        xo = jnp.asarray(xo, self._state.x.dtype)
+        if xo.ndim == 1:
+            xo = xo[:, None]
+        return gp_cov(self._kfn, self._state, xo)
+
+    @property
+    def log_lh(self):
+        return float(
+            log_mll(self._kfn, self._state.theta, self._state.s, self._state.x,
+                    self._state.y, self._state.mask, self._jitter)
+        )
+
+    @property
+    def dloglh_dtheta(self):
+        import numpy as np
+
+        return np.asarray(
+            dlog_mll(self._kfn, self._state.theta, self._state.s, self._state.x,
+                     self._state.y, self._state.mask, self._jitter)
+        )
+
+    def copy(self):
+        import copy as _copy
+
+        new = object.__new__(GP)
+        new.__dict__.update(self.__dict__)  # GPState is immutable — safe to share
+        return new

@@ -68,3 +68,59 @@ def get_kernel(name: str):
         return _KERNELS[name]
     except KeyError:
         raise ValueError(f"unknown kernel {name!r}") from None
+
+
+class _KernelFacade:
+    """Object-style kernel with parameter derivatives — the surface of the
+    reference's kernel classes (gp/kernels/gaussian.py::GaussianKernel etc.,
+    whose hand-written Cython ``jacobian``/``hessian`` become autodiff here).
+    """
+
+    _name: str = ""
+
+    def __init__(self, *params):
+        import jax
+
+        self.params = jnp.asarray(params, jnp.result_type(float))
+        self._kfn, self._kdiagfn = get_kernel(self._name)
+        self._jac = jax.jacfwd(lambda t, a, b: self._kfn(t, a, b))
+        self._hess = jax.jacfwd(self._jac)
+
+    @staticmethod
+    def _2d(x):
+        x = jnp.asarray(x)
+        return x[:, None] if x.ndim == 1 else x
+
+    def K(self, x1, x2):
+        return self._kfn(self.params, self._2d(x1), self._2d(x2))
+
+    def jacobian(self, x1, x2):
+        """∂K/∂params, shape (n1, n2, p) → transposed to (p, n1, n2) as the
+        reference returns it."""
+        J = self._jac(self.params, self._2d(x1), self._2d(x2))
+        return jnp.moveaxis(J, -1, 0)
+
+    def hessian(self, x1, x2):
+        H = self._hess(self.params, self._2d(x1), self._2d(x2))
+        return jnp.moveaxis(H, (-2, -1), (0, 1))
+
+    def __call__(self, x1, x2):
+        return self.K(x1, x2)
+
+
+class GaussianKernel(_KernelFacade):
+    """k(a,b) = h² exp(−(a−b)²/(2w²)); params (h, w) (gaussian.py parity)."""
+
+    _name = "gaussian"
+
+    def __init__(self, h, w):
+        super().__init__(h, w)
+
+
+class PeriodicKernel(_KernelFacade):
+    """k(a,b) = h² exp(−2 sin²((a−b)/2p)/w²); params (h, w, p)."""
+
+    _name = "periodic"
+
+    def __init__(self, h, w, p):
+        super().__init__(h, w, p)

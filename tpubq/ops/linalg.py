@@ -36,6 +36,7 @@ __all__ = [
     "chol_solve",
     "tri_solve",
     "masked_logdet",
+    "remove_jitter",
 ]
 
 #: Relative jitter ladder (multiples of mean live diagonal). Mirrors the
@@ -119,6 +120,18 @@ def masked_logdet(L: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """log|K_live| from the padded factor (pads have L_ii = 1 → contribute 0)."""
     d = jnp.diag(L)
     return 2.0 * jnp.sum(jnp.log(jnp.where(mask, d, 1.0)))
+
+
+def remove_jitter(K: jnp.ndarray, jitter, mask: jnp.ndarray) -> jnp.ndarray:
+    """Subtract previously applied diagonal jitter from the live block.
+
+    Functional analogue of bq_c.pyx::remove_jitter. In this framework
+    conditioning never mutates the stored Gram (``jitter_cholesky`` returns
+    the jitter it applied), so this exists for reference-parity workflows
+    that reconstruct the unconditioned matrix.
+    """
+    m = mask.astype(K.dtype)
+    return K - jnp.eye(K.shape[0], dtype=K.dtype) * jnp.asarray(jitter, K.dtype) * m
 
 
 @partial(jax.jit, static_argnames=())
