@@ -132,7 +132,12 @@ def _tpubq_throughput():
 
     platform = jax.devices()[0].platform
     dtype = "float32" if platform != "cpu" else "float64"
-    opts = BQOptions(n_candidate=12, candidate_thresh=0.2, max_obs=16, dtype=dtype)
+    # use_pallas routes scoring through the fused VMEM kernel on TPU (the
+    # faster path at every measured grid size); XLA path used off-TPU.
+    opts = BQOptions(
+        n_candidate=12, candidate_thresh=0.2, max_obs=16, dtype=dtype,
+        use_pallas=(platform == "tpu"),
+    )
     x, l = _problem()
     state = bqm.init_state(
         x, l, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4), x_mean=[0.0], x_var=[[1.0]]

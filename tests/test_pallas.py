@@ -95,3 +95,28 @@ def test_fused_fit_improves_mll():
     assert float(mll) > float(mll0[0])
     assert np.all(np.asarray(theta) > 0)
     assert 0.2 < float(theta[1]) < 2.5
+
+
+def test_esm_fused_matches_xla_path():
+    """The fully fused Pallas scorer reproduces the batched-XLA ESM."""
+    import numpy as np
+    from scipy import stats
+
+    import tpubq
+    from tpubq.models import acquire
+
+    x = np.linspace(-2.2, 2.2, 10)
+    l = stats.norm.pdf(x, 0.2, 0.5)
+    bq = tpubq.BQ(x, l, n_candidate=12, candidate_thresh=0.2, x_mean=0.0,
+                  x_var=1.0, dtype="float32")
+    bq.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    grid = np.linspace(-4, 4, 777).astype(np.float32)
+    ref = np.asarray(acquire.expected_squared_mean(bq.state, bq.options, grid))
+    fused = np.asarray(
+        acquire.expected_squared_mean_fused(bq.state, bq.options, grid)
+    )
+    np.testing.assert_allclose(fused, ref, rtol=2e-5)
+    # degenerate (duplicate) candidates short-circuit identically
+    dup = np.asarray(bq.x_s[:3, 0], np.float32)
+    fd = np.asarray(acquire.expected_squared_mean_fused(bq.state, bq.options, dup))
+    np.testing.assert_allclose(fd, bq.Z_mean() ** 2, rtol=1e-5)

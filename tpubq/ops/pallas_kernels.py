@@ -287,3 +287,88 @@ def mll_grad_batched(thetas, s, x, y, mask, jitter=1e-10, interpret=None):
             interpret=_interpret(interpret),
         )(s2, jit_arr, thetas.reshape(B, 2), xp, yp, mp)
     return mll[:, 0], grad
+
+
+# ---------------------------------------------------------------------------
+# Fused expected-squared-mean scorer (the headline hot path)
+# ---------------------------------------------------------------------------
+
+
+def _esm_kernel_impl(p_ref, xa_ref, xsc_ref, msc_ref, Kinv_ref, uz_ref, al_ref,
+                     xs_ref, ms_ref, Kinvtl_ref, altl_ref, o_ref):
+    dtype = xsc_ref.dtype
+    P = jax.lax.Precision.HIGHEST
+    h_l2 = p_ref[0, 0]
+    iwl2 = p_ref[0, 1]
+    kappa = p_ref[0, 2]
+    zc = p_ref[0, 3]
+    izv = p_ref[0, 4]
+    mu = p_ref[0, 5]
+    gamma = p_ref[0, 6]
+    kthr = p_ref[0, 7]
+    zTa = p_ref[0, 8]
+    h_tl2 = p_ref[0, 9]
+    iwtl2 = p_ref[0, 10]
+    cap = p_ref[0, 11]
+
+    xa = xa_ref[:]                     # (1, T)
+    xsc = xsc_ref[:]                   # (NP, 1)
+    msc = msc_ref[:]                   # (NP, 1)
+    d = xsc - xa                       # (NP, T)
+    k = h_l2 * jnp.exp(-(d * d) * iwl2) * msc
+    V = jnp.dot(Kinv_ref[:], k, preferred_element_type=dtype, precision=P)
+    gam = kappa - jnp.sum(k * V, axis=0, keepdims=True)          # (1, T)
+    zv = jnp.dot(uz_ref[:].T, k, preferred_element_type=dtype, precision=P)
+    ka = jnp.dot(al_ref[:].T, k, preferred_element_type=dtype, precision=P)
+    da = xa - mu
+    zeta = zc * jnp.exp(-(da * da) * izv)
+    kmax = jnp.max(k, axis=0, keepdims=True)
+    eps = jnp.asarray(np.finfo(np.float32).eps, dtype)
+    degen = jnp.logical_or(kmax > kthr, gam <= eps * kappa)
+    B = (zeta - zv) / jnp.where(degen, 1.0, gam)
+    A = zTa - B * ka
+
+    xs = xs_ref[:]                     # (NP2, 1)
+    ms = ms_ref[:]
+    d2 = xs - xa
+    ktl = h_tl2 * jnp.exp(-(d2 * d2) * iwtl2) * ms
+    V2 = jnp.dot(Kinvtl_ref[:], ktl, preferred_element_type=dtype, precision=P)
+    c = jnp.maximum(h_tl2 - jnp.sum(ktl * V2, axis=0, keepdims=True), 0.0)
+    m = jnp.dot(altl_ref[:].T, ktl, preferred_element_type=dtype, precision=P)
+    e1 = jnp.exp(jnp.minimum(m + 0.5 * c, cap))
+    e2 = jnp.exp(jnp.minimum(2.0 * m + 2.0 * c, cap))
+    E1 = gamma * (e1 - 1.0)
+    E2 = gamma * gamma * (e2 - 2.0 * e1 + 1.0)
+    esm = A * A + 2.0 * A * B * E1 + B * B * E2
+    o_ref[:] = jnp.where(degen, zTa * zTa, esm)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def esm_fused(params, grid, xsc, msc, Kinv, uz, alpha, xs, ms, Kinv_tl,
+              alpha_tl, interpret=None, tile=512):
+    """Fused ESM scores over a 1-D grid → (n_grid,).
+
+    ``params``: the 12 packed scalars (see _esm_kernel_impl). Array shapes:
+    grid (G,), xsc/msc/uz/alpha (NP, 1), xs/ms/alpha_tl (NP2, 1),
+    Kinv (NP, NP), Kinv_tl (NP2, NP2); NP/NP2 multiples of 8.
+    """
+    dtype = grid.dtype
+    G = grid.shape[0]
+    Gp = _round_up(G, tile)
+    g = jnp.full((1, Gp), grid[-1], dtype).at[0, :G].set(grid)
+    p = jnp.zeros((1, 16), dtype).at[0, : params.shape[0]].set(params)
+
+    with _x64_off():
+        out = pl.pallas_call(
+            _esm_kernel_impl,
+            out_shape=jax.ShapeDtypeStruct((1, Gp), dtype),
+            grid=(Gp // tile,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            interpret=_interpret(interpret),
+        )(p, g, xsc, msc, Kinv, uz, alpha, xs, ms, Kinv_tl, alpha_tl)
+    return out[0, :G]
