@@ -143,17 +143,21 @@ def _tpubq_throughput():
         x, l, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4), x_mean=[0.0], x_var=[[1.0]]
     )
     esm = jax.jit(acquire.expected_squared_mean, static_argnums=1)
-    grid = jax.device_put(
-        jnp.asarray(np.linspace(-4, 4, N_GRID), opts.np_dtype)[:, None]
-    )
+    base = np.linspace(-4, 4, N_GRID)
+    # distinct buffers per enqueued call: repeated identical dispatches can be
+    # deduped by the remote-tunnel runtime, which would overstate throughput
+    grids = [
+        jax.device_put(jnp.asarray(base + 1e-7 * i, opts.np_dtype)[:, None])
+        for i in range(K_ENQUEUE)
+    ]
     state = jax.device_put(state)
-    out = esm(state, opts, grid)
+    out = esm(state, opts, grids[0])
     out.block_until_ready()  # compile
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        for _ in range(K_ENQUEUE):
-            out = esm(state, opts, grid)
+        for g in grids:
+            out = esm(state, opts, g)
         out.block_until_ready()
         times.append((time.perf_counter() - t0) / K_ENQUEUE)
     dt = float(np.median(times))
