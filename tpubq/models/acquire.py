@@ -266,8 +266,15 @@ def choose_next(
     if hyper_samples is None:
         scores = expected_squared_mean(state, opts, x_a)
     else:
-        per = jax.vmap(lambda th: _esm_given_theta(state, opts, th, x_a))(hyper_samples)
-        scores = jnp.mean(per, axis=0)
+        # Sequential over hyper samples (each sample's scoring already
+        # saturates the chip across the grid), so peak memory stays O(grid)
+        # instead of O(samples × grid) — matters at 1e6-point grids. Results
+        # are identical to the vmapped form.
+        def step(acc, th):
+            return acc + _esm_given_theta(state, opts, th, x_a), None
+
+        total, _ = jax.lax.scan(step, jnp.zeros((x_a.shape[0],), dtype), hyper_samples)
+        scores = total / hyper_samples.shape[0]
     best = jnp.argmax(scores)
     return x_a[best], scores
 
