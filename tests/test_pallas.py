@@ -120,3 +120,26 @@ def test_esm_fused_matches_xla_path():
     dup = np.asarray(bq.x_s[:3, 0], np.float32)
     fd = np.asarray(acquire.expected_squared_mean_fused(bq.state, bq.options, dup))
     np.testing.assert_allclose(fd, bq.Z_mean() ** 2, rtol=1e-5)
+
+
+def test_cholesky_blocked_matches_lapack():
+    rng = np.random.RandomState(1)
+    for N in (100, 300):
+        A = rng.randn(N, N)
+        K = (A @ A.T + N * np.eye(N)).astype(np.float32)
+        L = np.asarray(pk.cholesky_blocked(jnp.asarray(K)))
+        want = np.linalg.cholesky(K.astype(np.float64))
+        np.testing.assert_allclose(L, want, rtol=2e-5, atol=2e-4)
+        assert np.allclose(L, np.tril(L))
+
+
+def test_tri_solve_blocked_matches_scipy():
+    rng = np.random.RandomState(2)
+    N, M = 200, 33
+    A = rng.randn(N, N)
+    K = (A @ A.T + N * np.eye(N)).astype(np.float32)
+    L = np.linalg.cholesky(K.astype(np.float64)).astype(np.float32)
+    R = rng.randn(N, M).astype(np.float32)
+    X = np.asarray(pk.tri_solve_blocked(jnp.asarray(L), jnp.asarray(R)))
+    want = np.linalg.solve(L.astype(np.float64), R)
+    np.testing.assert_allclose(X, want, rtol=2e-4, atol=2e-4)

@@ -372,3 +372,122 @@ def esm_fused(params, grid, xsc, msc, Kinv, uz, alpha, xs, ms, Kinv_tl,
             interpret=_interpret(interpret),
         )(p, g, xsc, msc, Kinv, uz, alpha, xs, ms, Kinv_tl, alpha_tl)
     return out[0, :G]
+
+
+# ---------------------------------------------------------------------------
+# Blocked Cholesky factor / solve (large single matrices)
+# ---------------------------------------------------------------------------
+
+
+def _chol_blocked_kernel_factory(N, B, dtype):
+    """Right-looking blocked Cholesky: per 128-panel, factor the diagonal
+    block (vectorized column algorithm), form the panel via a triangular
+    inverse + MXU matmul, and rank-B-update the trailing submatrix on the
+    MXU. The block loop is static (unrolled); all slices are static.
+    """
+    nb = N // B
+    P = jax.lax.Precision.HIGHEST
+
+    def kernel(a_ref, l_ref, work):
+        work[:] = a_ref[:]
+        for kb in range(nb):
+            k0 = kb * B
+            Akk = work[k0 : k0 + B, k0 : k0 + B]
+            Lkk = _chol_body(Akk, B, dtype)
+            Ykk = _tri_inv_body(Lkk, B, dtype)  # Lkk^{-1}
+            l_ref[k0 : k0 + B, k0 : k0 + B] = Lkk
+            if kb == 0:
+                # zero strictly-upper blocks of the first block row
+                pass
+            rem = N - (k0 + B)
+            if rem > 0:
+                Aik = work[k0 + B :, k0 : k0 + B]  # (rem, B)
+                Lik = jnp.dot(Aik, Ykk.T, preferred_element_type=dtype, precision=P)
+                l_ref[k0 + B :, k0 : k0 + B] = Lik
+                trail = work[k0 + B :, k0 + B :]
+                work[k0 + B :, k0 + B :] = trail - jnp.dot(
+                    Lik, Lik.T, preferred_element_type=dtype, precision=P
+                )
+            # zero the upper-triangle blocks of this block-column's row
+            if k0 > 0:
+                l_ref[0:k0, k0 : k0 + B] = jnp.zeros((k0, B), dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def cholesky_blocked(A, interpret=None, block=128):
+    """Lower Cholesky of one (N, N) SPD matrix via a blocked Pallas kernel.
+
+    The BASELINE-pinned "blocked Cholesky factor" kernel: panel
+    factorizations are vectorized column algorithms, panel solves and
+    trailing (Schur) updates are MXU matmuls. N is padded to a multiple of
+    ``block`` with identity (harmless for SPD inputs).
+    """
+    N = A.shape[0]
+    dtype = A.dtype
+    Np = _round_up(N, block)
+    if Np != N:
+        Ap = jnp.eye(Np, dtype=dtype)
+        Ap = Ap.at[:N, :N].set(A)
+    else:
+        Ap = A
+    kern = _chol_blocked_kernel_factory(Np, block, dtype)
+    with _x64_off():
+        L = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((Np, Np), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((Np, Np), dtype)],
+            interpret=_interpret(interpret),
+        )(Ap)
+    return L[:N, :N]
+
+
+def _tri_solve_blocked_kernel_factory(N, M, B, dtype):
+    """Blocked forward substitution: X = L^{-1} R for (N, M) right-hand sides."""
+    nb = N // B
+    P = jax.lax.Precision.HIGHEST
+
+    def kernel(l_ref, r_ref, x_ref):
+        for kb in range(nb):
+            k0 = kb * B
+            Lkk = l_ref[k0 : k0 + B, k0 : k0 + B]
+            Ykk = _tri_inv_body(Lkk, B, dtype)
+            acc = r_ref[k0 : k0 + B, :]
+            if k0 > 0:
+                Lrow = l_ref[k0 : k0 + B, 0:k0]  # (B, k0)
+                Xprev = x_ref[0:k0, :]
+                acc = acc - jnp.dot(Lrow, Xprev, preferred_element_type=dtype, precision=P)
+            x_ref[k0 : k0 + B, :] = jnp.dot(
+                Ykk, acc, preferred_element_type=dtype, precision=P
+            )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def tri_solve_blocked(L, R, interpret=None, block=128):
+    """X = L^{-1} R via the blocked Pallas forward-substitution kernel.
+
+    The BASELINE-pinned "blocked solve": diagonal-block inverses are applied
+    with MXU matmuls; off-diagonal contributions are block matmuls against
+    already-solved rows. R: (N, M); N padded to a block multiple, M to 128.
+    """
+    N, M = R.shape
+    dtype = L.dtype
+    Np = _round_up(N, block)
+    Mp = _round_up(M, 128)
+    Lp = jnp.eye(Np, dtype=dtype).at[:N, :N].set(L)
+    Rp = jnp.zeros((Np, Mp), dtype).at[:N, :M].set(R)
+    kern = _tri_solve_blocked_kernel_factory(Np, Mp, block, dtype)
+    with _x64_off():
+        X = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((Np, Mp), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=_interpret(interpret),
+        )(Lp, Rp)
+    return X[:N, :M]
