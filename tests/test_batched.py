@@ -1,0 +1,78 @@
+"""Fleet (batched) API: B problems in one dispatch ≡ B individual BQs."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats
+
+import tpubq
+from tpubq.models import batched
+from tpubq.utils.options import BQOptions
+
+OPTS = BQOptions(n_candidate=10, candidate_thresh=0.2, max_obs=16)
+MUS = [0.2, -0.5, 0.8]
+SIGS = [0.5, 0.7, 0.4]
+
+
+def _fleet():
+    xs = np.stack([np.linspace(-2.2, 2.2, 10)] * 3)
+    ls = np.stack([stats.norm.pdf(xs[i], MUS[i], SIGS[i]) for i in range(3)])
+    states = batched.init_batch(
+        xs, ls, OPTS, params_tl=(0.7, 0.8), params_l=(0.3, 0.4)
+    )
+    return xs, ls, states
+
+
+def _singles(xs, ls):
+    out = []
+    for i in range(3):
+        bq = tpubq.BQ(xs[i], ls[i], n_candidate=10, candidate_thresh=0.2,
+                      x_mean=0.0, x_var=1.0, max_obs=16)
+        bq.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+        out.append(bq)
+    return out
+
+def test_batched_matches_individuals():
+    xs, ls, states = _fleet()
+    singles = _singles(xs, ls)
+    zm = np.asarray(batched.Z_mean_batch(states, OPTS))
+    zv = np.asarray(batched.Z_var_batch(states, OPTS))
+    for i, bq in enumerate(singles):
+        np.testing.assert_allclose(zm[i], bq.Z_mean(), rtol=1e-10)
+        np.testing.assert_allclose(zv[i], bq.Z_var(), rtol=1e-10)
+
+
+def test_batched_esm_and_choose():
+    xs, ls, states = _fleet()
+    singles = _singles(xs, ls)
+    grid = np.linspace(-3, 3, 61)
+    scores = np.asarray(batched.expected_squared_mean_batch(states, OPTS, jnp.asarray(grid)))
+    x_next, _ = batched.choose_next_batch(states, OPTS, jnp.asarray(grid))
+    x_next = np.asarray(x_next)
+    for i, bq in enumerate(singles):
+        ref = bq.expected_squared_mean(grid)
+        np.testing.assert_allclose(scores[i], ref, rtol=1e-9)
+        assert np.isclose(x_next[i, 0], bq.choose_next(grid))
+
+
+def test_batched_active_loop_runs():
+    xs, ls, states = _fleet()
+    mus = jnp.asarray(MUS)
+    sigs = jnp.asarray(SIGS)
+    # loglik_fn sees per-problem x; parametrize via closure over index — use
+    # a shared function family by folding the problem id into the state is
+    # overkill here: use the same integrand for all (truth check relaxed).
+    def loglik(x):
+        return jnp.exp(-0.5 * (x[0] - 0.2) ** 2 / 0.25) / jnp.sqrt(2 * jnp.pi * 0.25)
+
+    grid = jnp.asarray(np.linspace(-4, 4, 41))
+    final, (zms, zvs) = batched.run_active_loop_batch(states, OPTS, loglik, grid, 2)
+    assert zms.shape == (2, 3) and np.all(np.isfinite(np.asarray(zms)))
+    assert np.all(np.asarray(final.ns) == 12)
+
+
+def test_batched_validation():
+    import pytest
+
+    xs = np.stack([np.linspace(-2, 2, 10)] * 2)
+    with pytest.raises(ValueError):
+        batched.init_batch(xs, -np.ones((2, 10)), OPTS)

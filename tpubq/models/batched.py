@@ -1,0 +1,144 @@
+"""Fleet API: many independent BQ problems in one dispatch.
+
+No reference analogue (the reference is strictly one estimator per Python
+object) — this is the TPU-native extension for production/serving: a batch
+of ``BQState``s is one pytree with a leading batch axis on every leaf, and
+every estimator operation is the ``vmap`` of the single-problem program. On
+a mesh, shard the batch axis (``jax.NamedSharding`` on the leaves) and the
+same functions scale across chips.
+
+All problems in a batch share one ``BQOptions`` (static shapes); their data,
+measures, γ, and hyperparameters vary freely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpubq.models import acquire, bq as bqm
+from tpubq.models.bq import BQState, _fit_gps
+from tpubq.utils.options import BQOptions
+
+__all__ = [
+    "init_batch",
+    "Z_mean_batch",
+    "Z_var_batch",
+    "expected_squared_mean_batch",
+    "choose_next_batch",
+    "add_observation_batch",
+    "run_active_loop_batch",
+]
+
+
+def init_batch(
+    xs,
+    ls,
+    opts: BQOptions,
+    params_tl=(1.0, 1.0),
+    params_l=(1.0, 1.0),
+    s_tl=0.0,
+    s_l=0.0,
+    gamma=1.0,
+    x_means=None,
+    x_vars=None,
+) -> BQState:
+    """Build a batched BQState from (B, n) observations.
+
+    ``xs``: (B, n) or (B, n, d); ``ls``: (B, n) positive. Per-problem
+    measures via ``x_means`` (B, d) / ``x_vars`` (B, d, d) (defaults:
+    standard normal). Hyperparameters may be shared (p,) or per-problem
+    (B, p). Returns a BQState whose every leaf has a leading B axis.
+    """
+    dtype = opts.np_dtype
+    xs = np.asarray(xs, dtype)
+    if xs.ndim == 2:
+        xs = xs[:, :, None]
+    ls = np.asarray(ls, dtype)
+    B, n, d = xs.shape
+    if np.any(ls <= 0) or not np.all(np.isfinite(ls)):
+        raise ValueError("l must be finite and positive")
+    if n > opts.max_obs:
+        raise ValueError(f"{n} observations exceed max_obs={opts.max_obs}")
+
+    if x_means is None:
+        x_means = np.zeros((B, d), dtype)
+    if x_vars is None:
+        x_vars = np.tile(np.eye(d, dtype=dtype)[None], (B, 1, 1))
+    x_means = np.asarray(x_means, dtype).reshape(B, d)
+    x_vars = np.asarray(x_vars, dtype).reshape(B, d, d)
+
+    theta_tl = np.broadcast_to(np.asarray(params_tl, dtype), (B, len(params_tl))).copy()
+    theta_l = np.broadcast_to(np.asarray(params_l, dtype), (B, len(params_l))).copy()
+
+    def one(x, l, ttl, tl_, mu, Sig):
+        return bqm.init_state(
+            x, l, opts, params_tl=ttl, params_l=tl_, s_tl=s_tl, s_l=s_l,
+            gamma=gamma, x_mean=mu, x_var=Sig,
+        )
+
+    # init_state is pure given fixed shapes; vmap builds the whole fleet in
+    # one compiled program.
+    return jax.vmap(
+        lambda x, l, a, b, mu, S: one(x, l, a, b, mu, S)
+    )(jnp.asarray(xs), jnp.asarray(ls), jnp.asarray(theta_tl),
+      jnp.asarray(theta_l), jnp.asarray(x_means), jnp.asarray(x_vars))
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def Z_mean_batch(states: BQState, opts: BQOptions) -> jnp.ndarray:
+    return jax.vmap(bqm.Z_mean, (0, None))(states, opts)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def Z_var_batch(states: BQState, opts: BQOptions) -> jnp.ndarray:
+    return jax.vmap(bqm.Z_var, (0, None))(states, opts)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def expected_squared_mean_batch(states: BQState, opts: BQOptions, grids) -> jnp.ndarray:
+    """(B, G) ESM scores; ``grids`` is (G,)/(G, d) shared or (B, G[, d])."""
+    grids = jnp.asarray(grids)
+    in_axes = (0, None, 0 if grids.ndim >= 2 and grids.shape[0] == _batch_size(states) else None)
+    return jax.vmap(acquire.expected_squared_mean, in_axes)(states, opts, grids)
+
+
+def _batch_size(states: BQState) -> int:
+    return states.ns.shape[0]
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def choose_next_batch(states: BQState, opts: BQOptions, grid):
+    """Per-problem argmax of ESM over a shared grid → ((B, d), (B, G))."""
+    scores = expected_squared_mean_batch(states, opts, grid)
+    grid2 = jnp.asarray(grid)
+    if grid2.ndim == 1:
+        grid2 = grid2[:, None]
+    return grid2[jnp.argmax(scores, axis=1)], scores
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def add_observation_batch(states: BQState, opts: BQOptions, x_new, l_new) -> BQState:
+    """Append one observation per problem and refit the whole fleet."""
+    return jax.vmap(acquire.add_observation, (0, None, 0, 0))(
+        states, opts, jnp.asarray(x_new), jnp.asarray(l_new)
+    )
+
+
+@partial(jax.jit, static_argnames=("opts", "loglik_fn", "n_steps"))
+def run_active_loop_batch(states: BQState, opts: BQOptions, loglik_fn, grid, n_steps: int):
+    """Fleet-wide active sampling: every problem picks and absorbs its own
+    next point each step (one compiled scan for the whole fleet).
+    ``loglik_fn(x: (d,)) -> ()`` is vmapped across the fleet's choices.
+    """
+
+    def step(sts, _):
+        x_next, _ = choose_next_batch(sts, opts, grid)
+        l_next = jax.vmap(loglik_fn)(x_next)
+        sts = add_observation_batch(sts, opts, x_next, l_next)
+        return sts, (Z_mean_batch(sts, opts), Z_var_batch(sts, opts))
+
+    return jax.lax.scan(step, states, None, length=n_steps)
