@@ -86,3 +86,22 @@ def test_time_fn_runs():
     f = jax.jit(lambda a: a @ a)
     dt, out = time_fn(f, jnp.eye(16), iters=3, warmup=1, repeats=2)
     assert dt > 0 and out.shape == (16, 16)
+
+
+def test_health_check():
+    import jax.numpy as jnp
+
+    from tests import util as tu
+    from tpubq.utils import health
+
+    bq = tu.make_bq()
+    diag = health.check_state(bq.state, bq.options)
+    assert bool(diag["l_s_finite"]) and bool(diag["alpha_l_finite"])
+    assert int(diag["ns"]) == 10
+    assert float(diag["gp_l"]["cond_estimate"]) >= 1.0
+    report = health.format_report(diag)
+    assert "finite" in report and "cond~" in report
+    # jit/vmap-safe
+    import jax
+
+    jax.jit(health.check_state, static_argnums=1)(bq.state, bq.options)

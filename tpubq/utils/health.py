@@ -1,0 +1,72 @@
+"""State health diagnostics — the production observability surface.
+
+The reference's nearest analogue is its ill-conditioning hygiene
+(bq_c.pyx::improve_covariance_conditioning) plus matplotlib eyeballing.
+For unattended/serving deployments this module gives a machine-checkable
+summary: finiteness of every cached quantity, applied jitter levels,
+condition estimates of both factors, and mask accounting. Pure function of
+the state — jit/vmap-friendly; ``format_report`` renders it for logs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from tpubq.models.bq import BQState
+from tpubq.utils.options import BQOptions
+
+__all__ = ["check_state", "format_report"]
+
+
+def _factor_stats(L, mask):
+    d = jnp.diag(L)
+    live = jnp.where(mask, d, jnp.nan)
+    dmax = jnp.nanmax(live)
+    dmin = jnp.nanmin(live)
+    return {
+        "finite": jnp.all(jnp.isfinite(jnp.where(mask[:, None] & mask[None, :], L, 0.0))),
+        # cond(K) ≈ (Lmax/Lmin)² for the Cholesky factor's diagonal
+        "cond_estimate": (dmax / dmin) ** 2,
+        "diag_min": dmin,
+    }
+
+
+def check_state(state: BQState, opts: BQOptions) -> Dict:
+    """Diagnostics pytree: jit-safe, no host sync until you read it."""
+    tl = state.gp_log_l
+    li = state.gp_l
+    return {
+        "ns": state.ns,
+        "nc": jnp.sum(state.c_mask.astype(jnp.int32)),
+        "capacity_used": state.ns / opts.max_obs,
+        "l_s_finite": jnp.all(jnp.isfinite(jnp.where(state.obs_mask, state.l_s, 0.0))),
+        "alpha_l_finite": jnp.all(jnp.isfinite(li.alpha)),
+        "alpha_tl_finite": jnp.all(jnp.isfinite(tl.alpha)),
+        "jitter_tl": tl.jitter,
+        "jitter_l": li.jitter,
+        "gp_log_l": _factor_stats(tl.L, tl.mask),
+        "gp_l": _factor_stats(li.L, li.mask),
+    }
+
+
+def format_report(diag: Dict) -> str:
+    """Render check_state output (host-side) for logging."""
+    import numpy as np
+
+    d = {k: (np.asarray(v) if not isinstance(v, dict) else v) for k, v in diag.items()}
+    lines = [
+        f"ns={int(d['ns'])} nc={int(d['nc'])} capacity={float(d['capacity_used']):.0%}",
+        f"finite: l_s={bool(d['l_s_finite'])} alpha_l={bool(d['alpha_l_finite'])} "
+        f"alpha_tl={bool(d['alpha_tl_finite'])}",
+        f"jitter: tl={float(d['jitter_tl']):.2e} l={float(d['jitter_l']):.2e}",
+    ]
+    for name in ("gp_log_l", "gp_l"):
+        s = diag[name]
+        lines.append(
+            f"{name}: finite={bool(np.asarray(s['finite']))} "
+            f"cond~{float(np.asarray(s['cond_estimate'])):.2e} "
+            f"diag_min={float(np.asarray(s['diag_min'])):.2e}"
+        )
+    return "\n".join(lines)
