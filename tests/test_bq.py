@@ -291,3 +291,44 @@ def test_2d_bq_z_mean_against_truth():
     gg = np.stack(np.meshgrid(np.linspace(-2, 2, 9), np.linspace(-2, 2, 9)), -1).reshape(-1, 2)
     esm = bq.expected_squared_mean(gg)
     assert esm.shape == (81,) and np.all(np.isfinite(esm))
+
+
+def test_gamma_not_one_consistency():
+    """γ≠1 exercises the transform and the (m_l+γ) V[Z] weighting; the
+    quadrature twins are the oracle."""
+    bq = tu.make_bq(init=False)
+    bq._gamma0 = 0.37
+    bq.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    assert bq.gamma == 0.37
+    np.testing.assert_allclose(bq.tl_s, np.log1p(bq.l_s / 0.37), rtol=1e-12)
+    xo = tu.make_xo()
+    zm, zv = bq.Z_mean(), bq.Z_var()
+    np.testing.assert_allclose(zm, float(bqm.approx_Z_mean(bq.state, bq.options, xo)), rtol=1e-6)
+    np.testing.assert_allclose(zv, float(bqm.approx_Z_var(bq.state, bq.options, xo)), rtol=1e-6)
+    # ESM closed form still matches its Gauss–Hermite twin with γ≠1
+    grid = np.linspace(-3, 3, 41)
+    e = np.asarray(acquire.expected_squared_mean(bq.state, bq.options, grid))
+    g = np.asarray(acquire.approx_expected_squared_mean(bq.state, bq.options, grid))
+    np.testing.assert_allclose(e, g, rtol=1e-8)
+
+
+def test_noisy_gp_paths():
+    """Nonzero observation noise s on both GPs (reference s option)."""
+    import tpubq
+
+    x = tu.make_x()
+    bq = tpubq.BQ(x, tu.f_l(x), s=0.05, **tu.DEFAULT_OPTIONS)
+    bq.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    xo = tu.make_xo()
+    np.testing.assert_allclose(
+        bq.Z_mean(), float(bqm.approx_Z_mean(bq.state, bq.options, xo)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        bq.Z_var(), float(bqm.approx_Z_var(bq.state, bq.options, xo)), rtol=1e-6
+    )
+    grid = np.linspace(-3, 3, 31)
+    e = np.asarray(acquire.expected_squared_mean(bq.state, bq.options, grid))
+    g = np.asarray(acquire.approx_expected_squared_mean(bq.state, bq.options, grid))
+    np.testing.assert_allclose(e, g, rtol=1e-8)
+    bq.fit_hypers(seed=0)
+    assert abs(bq.Z_mean() - tu.true_Z()) / tu.true_Z() < 2e-2
