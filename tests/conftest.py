@@ -20,6 +20,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# Persist XLA compilations across test runs (compiles dominate suite time).
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpubq_xla_cache_tests")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
 if not _USE_TPU:
     # The sandbox's site customization pins JAX_PLATFORMS to the TPU tunnel
     # even when the env var is overridden, so pin via config as well.

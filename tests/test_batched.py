@@ -76,3 +76,17 @@ def test_batched_validation():
     xs = np.stack([np.linspace(-2, 2, 10)] * 2)
     with pytest.raises(ValueError):
         batched.init_batch(xs, -np.ones((2, 10)), OPTS)
+
+
+def test_batched_per_problem_params_and_grids():
+    """Per-problem (B, p) hyperparameters and (B, G) grids work for any B."""
+    xs = np.stack([np.linspace(-2.2, 2.2, 10)] * 4)
+    ls = np.stack([stats.norm.pdf(xs[i], MUS[i % 3], SIGS[i % 3]) for i in range(4)])
+    theta_tl = np.tile([0.7, 0.8], (4, 1)) * np.linspace(0.8, 1.2, 4)[:, None]
+    states = batched.init_batch(xs, ls, OPTS, params_tl=theta_tl, params_l=(0.3, 0.4))
+    np.testing.assert_allclose(np.asarray(states.gp_log_l.theta), theta_tl, rtol=1e-12)
+    grids = np.stack([np.linspace(-3, 3, 21) + 0.1 * i for i in range(4)])
+    scores = np.asarray(
+        batched.expected_squared_mean_batch(states, OPTS, jnp.asarray(grids), per_problem=True)
+    )
+    assert scores.shape == (4, 21) and np.all(np.isfinite(scores))

@@ -332,3 +332,23 @@ def test_noisy_gp_paths():
     np.testing.assert_allclose(e, g, rtol=1e-8)
     bq.fit_hypers(seed=0)
     assert abs(bq.Z_mean() - tu.true_Z()) / tu.true_Z() < 2e-2
+
+
+def test_single_multidim_point_query():
+    """A (d,) query with dim > 1 is ONE point, not d bogus 1-D points."""
+    import tpubq
+    from scipy import stats
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-2, 2, (12, 2))
+    L = stats.multivariate_normal.pdf(X, [0.2, -0.1], np.diag([0.3, 0.5]))
+    bq = tpubq.BQ(X, L, dim=2, n_candidate=6, candidate_thresh=0.25,
+                  x_mean=np.zeros(2), x_var=np.eye(2), max_obs=16)
+    bq.init(params_tl=(0.5, 0.9, 0.9), params_l=(0.2, 0.5, 0.5))
+    single = bq.expected_squared_mean(np.array([0.3, 0.4]))
+    assert np.ndim(single) == 0
+    batch = bq.expected_squared_mean(np.array([[0.3, 0.4], [1.0, -1.0]]))
+    assert batch.shape == (2,)
+    np.testing.assert_allclose(float(single), batch[0], rtol=1e-12)
+    with pytest.raises(ValueError):
+        bq.expected_squared_mean(np.array([0.3, 0.4, 0.5]))  # wrong d

@@ -18,14 +18,21 @@ against closed forms) require float64, so x64 is enabled at import. TPU hot
 paths may still run float32/bfloat16 by passing ``dtype`` options.
 """
 
+import os as _os
+
 import jax as _jax
 
-_jax.config.update("jax_enable_x64", True)
-# TPU matmuls default to bf16 passes; this workload's matmuls are tiny
-# (Grams of a few hundred rows — MXU time is negligible) while its numerics
-# hinge on cancellation (posterior covariances, Schur complements), so pin
-# full-precision accumulation globally.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# Library-level knob: tpubq's parity numerics want x64 available and
+# full-precision matmuls. Embedders that manage their own JAX config can opt
+# out with TPUBQ_NO_GLOBAL_CONFIG=1 (f64 paths then require the host app to
+# enable x64 itself; f32 paths must pass dtype="float32" options anyway).
+if not _os.environ.get("TPUBQ_NO_GLOBAL_CONFIG"):
+    _jax.config.update("jax_enable_x64", True)
+    # TPU matmuls default to bf16 passes; this workload's matmuls are tiny
+    # (Grams of a few hundred rows — MXU time is negligible) while its
+    # numerics hinge on cancellation (posterior covariances, Schur
+    # complements), so pin full-precision accumulation globally.
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from tpubq.utils.options import BQOptions
 

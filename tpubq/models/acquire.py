@@ -59,6 +59,29 @@ __all__ = [
 ]
 
 
+def as_points(x_a, dim: int):
+    """Normalize query locations to (na, d).
+
+    A 1-D array is ambiguous: for dim == 1 it is na points; for dim > 1 it is
+    ONE d-dimensional point (previously it was silently split into d bogus
+    1-D points).
+    """
+    x_a = jnp.asarray(x_a)
+    if x_a.ndim == 0:
+        if dim != 1:
+            raise ValueError("scalar query invalid for dim > 1")
+        return x_a.reshape(1, 1)
+    if x_a.ndim == 1:
+        if dim == 1:
+            return x_a[:, None]
+        if x_a.shape[0] != dim:
+            raise ValueError(f"single query point has dim {x_a.shape[0]}, options say {dim}")
+        return x_a.reshape(1, dim)
+    if x_a.shape[-1] != dim:
+        raise ValueError(f"query points have dim {x_a.shape[-1]}, options say {dim}")
+    return x_a
+
+
 def _safe_exp(x):
     cap = 0.5 * jnp.log(jnp.finfo(x.dtype).max)
     return jnp.exp(jnp.minimum(x, cap))
@@ -73,18 +96,13 @@ def _lognormal_moments(m, c, gamma):
     return E1, E2
 
 
-def expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
-    """ESM scores for a batch of hypothetical locations x_a: (na, d) → (na,)."""
-    if opts.use_pallas and opts.dim == 1 and opts.kernel == "gaussian":
-        from tpubq.ops.pallas_kernels import on_tpu
-
-        if on_tpu():
-            return expected_squared_mean_fused(state, opts, x_a)
+def _esm_affine_terms(state: BQState, opts: BQOptions, x_a):
+    """Shared pieces of the ESM: the affine coefficients (A, B), the
+    degenerate mask, zᵀα, and the log-GP moments (m_a, c_a). Used by both the
+    closed-form path and its Gauss–Hermite twin so the oracle cannot diverge
+    from the production path."""
     kfn, kdiagfn = get_kernel(opts.kernel)
     dtype = state.x_s.dtype
-    x_a = jnp.asarray(x_a, dtype)
-    if x_a.ndim == 1:
-        x_a = x_a[:, None]
     m_sc = state.sc_mask
     gp_l = state.gp_l
     alpha = gp_l.alpha
@@ -112,8 +130,24 @@ def expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
 
     m_a = gpm.gp_mean(kfn, state.gp_log_l, x_a)
     c_a = jnp.maximum(gpm.gp_var(kfn, kdiagfn, state.gp_log_l, x_a), 0.0)
-    E1, E2 = _lognormal_moments(m_a, c_a, state.gamma)
+    return A, B, degenerate, zTalpha, m_a, c_a
 
+
+def expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
+    """ESM scores for a batch of hypothetical locations x_a: (na, d) → (na,)."""
+    if (
+        opts.use_pallas
+        and opts.dim == 1
+        and opts.kernel == "gaussian"
+        and opts.dtype == "float32"
+    ):
+        from tpubq.ops.pallas_kernels import on_tpu
+
+        if on_tpu():
+            return expected_squared_mean_fused(state, opts, x_a)
+    x_a = as_points(jnp.asarray(x_a, state.x_s.dtype), opts.dim)
+    A, B, degenerate, zTalpha, m_a, c_a = _esm_affine_terms(state, opts, x_a)
+    E1, E2 = _lognormal_moments(m_a, c_a, state.gamma)
     esm = A * A + 2.0 * A * B * E1 + B * B * E2
     return jnp.where(degenerate, zTalpha * zTalpha, esm)
 
@@ -124,34 +158,12 @@ def approx_expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.nd
     (mirrors the reference's approx_* cross-checks in tests/test_bq.py)."""
     import numpy as np
 
-    kfn, kdiagfn = get_kernel(opts.kernel)
     dtype = state.x_s.dtype
-    x_a = jnp.asarray(x_a, dtype)
-    if x_a.ndim == 1:
-        x_a = x_a[:, None]
+    x_a = as_points(jnp.asarray(x_a, dtype), opts.dim)
     gh_x, gh_w = np.polynomial.hermite_e.hermegauss(opts.n_gh)
     gh_x = jnp.asarray(gh_x, dtype)
     gh_w = jnp.asarray(gh_w / np.sqrt(2.0 * np.pi), dtype)
-
-    m_sc = state.sc_mask
-    gp_l = state.gp_l
-    alpha = gp_l.alpha
-    z = int_K_measure(state, opts, gp_l.theta, state.x_sc) * m_sc.astype(dtype)
-    zeta = int_K_measure(state, opts, gp_l.theta, x_a)
-    zTalpha = jnp.dot(z, alpha)
-    k_a = kfn(gp_l.theta, state.x_sc, x_a) * m_sc.astype(dtype)[:, None]
-    v = linalg.chol_solve(gp_l.L, k_a)
-    kappa = kdiagfn(gp_l.theta, x_a) + gp_l.s * gp_l.s + gp_l.jitter
-    gam_s = kappa - jnp.sum(k_a * v, axis=0)
-    dist = jnp.max(jnp.abs(x_a[:, None, :] - state.x_sc[None, :, :]), axis=-1)
-    too_close = jnp.any(jnp.logical_and(dist < opts.candidate_thresh, m_sc[None, :]), axis=1)
-    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-    degenerate = jnp.logical_or(too_close, gam_s <= eps * kappa)
-    safe_gam = jnp.where(degenerate, 1.0, gam_s)
-    B = (zeta - z @ v) / safe_gam
-    A = zTalpha - B * (k_a.T @ alpha)
-    m_a = gpm.gp_mean(kfn, state.gp_log_l, x_a)
-    c_a = jnp.maximum(gpm.gp_var(kfn, kdiagfn, state.gp_log_l, x_a), 0.0)
+    A, B, degenerate, zTalpha, m_a, c_a = _esm_affine_terms(state, opts, x_a)
     # tl nodes: (na, n_gh)
     t = m_a[:, None] + jnp.sqrt(c_a)[:, None] * gh_x[None, :]
     l_nodes = state.gamma * jnp.expm1(t)
@@ -260,9 +272,7 @@ def choose_next(
     a single XLA program. Returns (x_best, scores).
     """
     dtype = state.x_s.dtype
-    x_a = jnp.asarray(x_a, dtype)
-    if x_a.ndim == 1:
-        x_a = x_a[:, None]
+    x_a = as_points(jnp.asarray(x_a, dtype), opts.dim)
     if hyper_samples is None:
         scores = expected_squared_mean(state, opts, x_a)
     else:

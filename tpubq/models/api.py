@@ -190,13 +190,17 @@ class BQ:
     def Z_var(self) -> float:
         return float(_z_var(self.state, self.options))
 
+    def _is_single_point(self, x_a) -> bool:
+        nd = np.ndim(x_a)
+        return nd == 0 or (self.options.dim > 1 and nd == 1)
+
     def expected_squared_mean(self, x_a) -> np.ndarray:
-        out = np.asarray(_esm(self.state, self.options, jnp.atleast_1d(jnp.asarray(x_a))))
-        return out if np.ndim(x_a) else out[0]
+        out = np.asarray(_esm(self.state, self.options, jnp.asarray(x_a)))
+        return out[0] if self._is_single_point(x_a) else out
 
     def expected_Z_var(self, x_a) -> np.ndarray:
-        out = np.asarray(_ezv(self.state, self.options, jnp.atleast_1d(jnp.asarray(x_a))))
-        return out if np.ndim(x_a) else out[0]
+        out = np.asarray(_ezv(self.state, self.options, jnp.asarray(x_a)))
+        return out[0] if self._is_single_point(x_a) else out
 
     # ---------------------------------------------------------------- fitting
     def fit_hypers(self, params: Sequence[str] = ("h", "w"), ntry: int = 10, seed=None):
@@ -206,7 +210,15 @@ class BQ:
         st = self.state
         opts = self.options
         k1, k2, k3, k4 = jax.random.split(self._key(seed), 4)
-        fused = opts.use_pallas and opts.kernel == "gaussian" and opts.dim == 1
+        from tpubq.ops.pallas_kernels import on_tpu
+
+        fused = (
+            opts.use_pallas
+            and opts.kernel == "gaussian"
+            and opts.dim == 1
+            and opts.dtype == "float32"
+            and on_tpu()
+        )
 
         def _fit(key_r, key_f, theta, s, x, y, mask):
             inits = fitm.random_restarts(key_r, theta, x, y, mask, ntry)

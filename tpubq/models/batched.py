@@ -71,8 +71,16 @@ def init_batch(
     x_means = np.asarray(x_means, dtype).reshape(B, d)
     x_vars = np.asarray(x_vars, dtype).reshape(B, d, d)
 
-    theta_tl = np.broadcast_to(np.asarray(params_tl, dtype), (B, len(params_tl))).copy()
-    theta_l = np.broadcast_to(np.asarray(params_l, dtype), (B, len(params_l))).copy()
+    def _per_problem(params):
+        p = np.asarray(params, dtype)
+        if p.ndim == 1:
+            return np.broadcast_to(p, (B, p.shape[0])).copy()
+        if p.shape[0] != B:
+            raise ValueError(f"per-problem params must be (B, p); got {p.shape}")
+        return p
+
+    theta_tl = _per_problem(params_tl)
+    theta_l = _per_problem(params_l)
 
     def one(x, l, ttl, tl_, mu, Sig):
         return bqm.init_state(
@@ -98,12 +106,21 @@ def Z_var_batch(states: BQState, opts: BQOptions) -> jnp.ndarray:
     return jax.vmap(bqm.Z_var, (0, None))(states, opts)
 
 
-@partial(jax.jit, static_argnames=("opts",))
-def expected_squared_mean_batch(states: BQState, opts: BQOptions, grids) -> jnp.ndarray:
-    """(B, G) ESM scores; ``grids`` is (G,)/(G, d) shared or (B, G[, d])."""
+@partial(jax.jit, static_argnames=("opts", "per_problem"))
+def expected_squared_mean_batch(
+    states: BQState, opts: BQOptions, grids, per_problem: bool = False
+) -> jnp.ndarray:
+    """(B, G) ESM scores.
+
+    ``per_problem=False`` (default): one shared grid, (G,) or (G, d).
+    ``per_problem=True``: a grid per problem, (B, G) or (B, G, d). Explicit
+    rather than shape-inferred — a shared (G, d) grid with G == B would
+    otherwise be silently misread as per-problem rows.
+    """
     grids = jnp.asarray(grids)
-    in_axes = (0, None, 0 if grids.ndim >= 2 and grids.shape[0] == _batch_size(states) else None)
-    return jax.vmap(acquire.expected_squared_mean, in_axes)(states, opts, grids)
+    return jax.vmap(acquire.expected_squared_mean, (0, None, 0 if per_problem else None))(
+        states, opts, grids
+    )
 
 
 def _batch_size(states: BQState) -> int:

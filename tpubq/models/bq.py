@@ -310,8 +310,12 @@ def Z_var(state: BQState, opts: BQOptions) -> jnp.ndarray:
     """
     if opts.kernel != "gaussian":
         return Z_var_gh(state, opts)  # kernel-agnostic quadrature form
-    if opts.dtype == "float32" and opts.dim == 1:
-        return Z_var_gh(state, opts)
+    if opts.dtype == "float32":
+        if opts.dim == 1:
+            return Z_var_gh(state, opts)
+        # d > 1 has no GH path yet; clamp the cancellation-prone closed form
+        # so callers never see a negative variance.
+        return jnp.maximum(Z_var_exact(state, opts), 0.0)
     return Z_var_exact(state, opts)
 
 

@@ -396,9 +396,6 @@ def _chol_blocked_kernel_factory(N, B, dtype):
             Lkk = _chol_body(Akk, B, dtype)
             Ykk = _tri_inv_body(Lkk, B, dtype)  # Lkk^{-1}
             l_ref[k0 : k0 + B, k0 : k0 + B] = Lkk
-            if kb == 0:
-                # zero strictly-upper blocks of the first block row
-                pass
             rem = N - (k0 + B)
             if rem > 0:
                 Aik = work[k0 + B :, k0 : k0 + B]  # (rem, B)

@@ -58,9 +58,9 @@ def choose_next_sharded(
     """
     n_sp = mesh.shape[AXIS_GRID]
     n_dp = mesh.shape[AXIS_SAMPLE]
-    x_a = jnp.atleast_2d(jnp.asarray(x_a, state.x_s.dtype))
-    if x_a.shape[0] < x_a.shape[1]:  # (d, n) guard not needed; (n, d) expected
-        pass
+    from tpubq.models.acquire import as_points
+
+    x_a = as_points(jnp.asarray(x_a, state.x_s.dtype), opts.dim)
     x_pad, n_real = pad_to_multiple(x_a, n_sp, axis=0)
 
     if hyper_samples is None:
