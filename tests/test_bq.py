@@ -352,3 +352,30 @@ def test_single_multidim_point_query():
     np.testing.assert_allclose(float(single), batch[0], rtol=1e-12)
     with pytest.raises(ValueError):
         bq.expected_squared_mean(np.array([0.3, 0.4, 0.5]))  # wrong d
+
+
+def test_2d_f32_Z_var_gh_stable():
+    """Tensor-product GH Z_var: f32 2-D variance is non-negative and tracks
+    the f64 closed form (the raw f32 closed form cancels catastrophically)."""
+    import dataclasses
+
+    import tpubq
+    from scipy import stats
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-2, 2, (16, 2))
+    L = stats.multivariate_normal.pdf(X, [0.2, -0.1], np.diag([0.3, 0.5]))
+    kwargs = dict(dim=2, n_candidate=6, candidate_thresh=0.25, max_obs=24,
+                  x_mean=np.zeros(2), x_var=np.eye(2))
+    bq64 = tpubq.BQ(X, L, **kwargs).init(params_tl=(0.5, 0.9, 0.9), params_l=(0.2, 0.5, 0.5))
+    bq32 = tpubq.BQ(X, L, dtype="float32", n_gh=400, **kwargs).init(
+        params_tl=(0.5, 0.9, 0.9), params_l=(0.2, 0.5, 0.5)
+    )
+    v64 = float(bqm.Z_var_exact(bq64.state, bq64.options))
+    v32 = bq32.Z_var()
+    assert v32 >= 0
+    assert abs(v32 - v64) / abs(v64) < 5e-3
+    # f64 GH with a dense rule converges to the exact closed form
+    opts_dense = dataclasses.replace(bq64.options, n_gh=1024)  # 32/axis
+    g = float(bqm.Z_var_gh(bq64.state, opts_dense))
+    assert abs(g - v64) / abs(v64) < 1e-4

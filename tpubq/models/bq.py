@@ -265,15 +265,30 @@ def _theta_hw(theta):
 
 
 def _gh_nodes(state: BQState, opts: BQOptions):
-    """Gauss–Hermite nodes/weights of the 1-D measure N(x_mean, x_var)."""
+    """Gauss–Hermite nodes/weights of the measure N(x_mean, x_var) → ((m, d), (m,)).
+
+    1-D uses n_gh nodes directly; d > 1 uses a tensor-product rule with
+    ceil(n_gh^(1/d)) nodes per axis, rotated through the Cholesky factor of
+    x_var (exact for the correlated Gaussian measure).
+    """
     import numpy as np
 
     dtype = state.x_s.dtype
-    t, w = np.polynomial.hermite_e.hermegauss(opts.n_gh)
-    t = jnp.asarray(t, dtype)
-    w = jnp.asarray(w / np.sqrt(2.0 * np.pi), dtype)
-    sig = jnp.sqrt(state.x_var[0, 0])
-    return (state.x_mean[0] + sig * t)[:, None], w
+    d = opts.dim
+    n_axis = opts.n_gh if d == 1 else max(int(np.ceil(opts.n_gh ** (1.0 / d))), 8)
+    t, w = np.polynomial.hermite_e.hermegauss(n_axis)
+    w = w / np.sqrt(2.0 * np.pi)
+    if d == 1:
+        nodes1 = jnp.asarray(t, dtype)[:, None]
+        weights = jnp.asarray(w, dtype)
+    else:
+        grids = np.meshgrid(*([t] * d), indexing="ij")
+        nodes1 = jnp.asarray(np.stack([g.ravel() for g in grids], axis=-1), dtype)
+        wgrids = np.meshgrid(*([w] * d), indexing="ij")
+        weights = jnp.asarray(np.prod(np.stack(wgrids), axis=0).ravel(), dtype)
+    Lv = jnp.linalg.cholesky(state.x_var)
+    nodes = state.x_mean[None, :] + nodes1 @ Lv.T
+    return nodes, weights
 
 
 def int_K_measure(state: BQState, opts: BQOptions, theta, x) -> jnp.ndarray:
@@ -311,10 +326,11 @@ def Z_var(state: BQState, opts: BQOptions) -> jnp.ndarray:
     if opts.kernel != "gaussian":
         return Z_var_gh(state, opts)  # kernel-agnostic quadrature form
     if opts.dtype == "float32":
-        if opts.dim == 1:
-            return Z_var_gh(state, opts)
-        # d > 1 has no GH path yet; clamp the cancellation-prone closed form
-        # so callers never see a negative variance.
+        if opts.dim <= 3:
+            return Z_var_gh(state, opts)  # tensor-product GH, stable in f32
+        # d > 3: tensor-product quadrature is too large; clamp the
+        # cancellation-prone closed form so callers never see a negative
+        # variance (accuracy caveat documented in DESIGN.md).
         return jnp.maximum(Z_var_exact(state, opts), 0.0)
     return Z_var_exact(state, opts)
 
@@ -358,7 +374,7 @@ def Z_var_exact(state: BQState, opts: BQOptions) -> jnp.ndarray:
 
 
 def Z_var_gh(state: BQState, opts: BQOptions) -> jnp.ndarray:
-    """V[Z] by Gauss–Hermite quadrature over the measure (1-D).
+    """V[Z] by Gauss–Hermite quadrature over the measure (tensor rule d ≤ 3).
 
     V = Σ_ij a_i C_tl(x_i, x_j) a_j,  a_i = ω_i (m_l(x_i) + γ), with (x_i, ω_i)
     the n_gh Hermite nodes/weights of N(x_mean, x_var). All intermediates are
