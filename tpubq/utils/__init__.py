@@ -1,0 +1,3 @@
+from tpubq.utils import health, options, profiling
+
+__all__ = ["health", "options", "profiling"]
