@@ -3,6 +3,13 @@
 Documents how candidate scoring scales on the device. One JSON line per
 configuration. Distinct input buffers per dispatch (dedup-proof), block per
 timed call.
+
+RELIABILITY WARNING for the remote-tunnel (axon) TPU: sub-millisecond
+measurements through the tunnel are not trustworthy — observed throughputs
+at 1e6-point grids exceed the chip's FLOP ceiling, implying runtime-level
+caching/overlap that block_until_ready does not expose. Treat the 1e4-grid
+rows (and bench.py's headline) as the reliable figures; re-run this sweep on
+a locally attached TPU for true scaling curves.
 """
 
 import json
