@@ -387,3 +387,21 @@ def test_2d_f32_Z_var_gh_stable():
     opts_dense = dataclasses.replace(bq64.options, n_gh=1024)  # 32/axis
     g = float(bqm.Z_var_gh(bq64.state, opts_dense))
     assert abs(g - v64) / abs(v64) < 1e-4
+
+
+def test_scan_active_loop_marginalized():
+    import jax.numpy as jnp
+
+    bq = tu.make_bq()
+    hyp = jnp.asarray(bq.sample_hypers(4, seed=21))
+
+    def loglik(x):
+        s2 = tu.SIG_L**2
+        return jnp.exp(-0.5 * (x[0] - tu.MU_L) ** 2 / s2) / jnp.sqrt(2 * jnp.pi * s2)
+
+    grid = np.linspace(-4, 4, 41)
+    st, (xs, zms, zvs) = acquire.run_active_loop(
+        bq.state, bq.options, loglik, jnp.asarray(grid)[:, None], 2, hyp
+    )
+    assert int(st.ns) == bq.ns + 2
+    assert np.all(np.isfinite(np.asarray(zms)))

@@ -105,3 +105,48 @@ def test_health_check():
     import jax
 
     jax.jit(health.check_state, static_argnums=1)(bq.state, bq.options)
+
+
+def test_state_io_roundtrip(tmp_path):
+    import pytest
+
+    from tests import util as tu
+    from tpubq.utils import io as tio
+
+    bq = tu.make_bq()
+    f = tmp_path / "state.npz"
+    tio.save_state(f, bq.state, bq.options)
+    with pytest.raises(IOError):
+        tio.save_state(f, bq.state, bq.options)
+    st, opts = tio.load_state(f)
+    assert opts == bq.options
+    from tpubq.models import bq as bqm
+
+    np.testing.assert_allclose(
+        float(bqm.Z_mean(st, opts)), bq.Z_mean(), rtol=1e-14
+    )
+    st2, _ = tio.load_state(f, refit=True)
+    np.testing.assert_allclose(
+        float(bqm.Z_mean(st2, opts)), bq.Z_mean(), rtol=1e-10
+    )
+
+
+def test_fleet_state_io_roundtrip(tmp_path):
+    from scipy import stats
+
+    from tpubq.models import batched, bq as bqm
+    from tpubq.utils import io as tio
+    from tpubq.utils.options import BQOptions
+
+    opts = BQOptions(n_candidate=10, candidate_thresh=0.2, max_obs=16)
+    xs = np.stack([np.linspace(-2.2, 2.2, 10)] * 3)
+    ls = np.stack([stats.norm.pdf(xs[i], 0.1 * i, 0.5) for i in range(3)])
+    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    f = tmp_path / "fleet.npz"
+    tio.save_state(f, states, opts)
+    st, opts2 = tio.load_state(f, refit=True)
+    np.testing.assert_allclose(
+        np.asarray(batched.Z_mean_batch(st, opts2)),
+        np.asarray(batched.Z_mean_batch(states, opts)),
+        rtol=1e-10,
+    )

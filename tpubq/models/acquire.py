@@ -311,16 +311,21 @@ def add_observation(state: BQState, opts: BQOptions, x_a, l_a) -> BQState:
 
 
 @partial(jax.jit, static_argnames=("opts", "loglik_fn", "n_steps"))
-def run_active_loop(state: BQState, opts: BQOptions, loglik_fn, x_grid, n_steps: int):
+def run_active_loop(
+    state: BQState, opts: BQOptions, loglik_fn, x_grid, n_steps: int,
+    hyper_samples=None,
+):
     """Closed active-sampling loop as ``lax.scan`` (the reference's outer
     choose → evaluate → add loop, bq.py usage pattern; here the likelihood
     must be a jittable callable so the whole loop stays on-device).
 
-    Returns (final_state, per-step (x_next, Z_mean, Z_var)).
+    ``hyper_samples``: optional (n, p) θ_tl draws — each step's acquisition
+    is then marginalized over them (the reference's ``choose_next(x, n)``
+    inside its loop). Returns (final_state, per-step (x_next, Z_mean, Z_var)).
     """
 
     def step(st, _):
-        x_next, _scores = choose_next(st, opts, x_grid)
+        x_next, _scores = choose_next(st, opts, x_grid, hyper_samples)
         l_next = loglik_fn(x_next)
         st = add_observation(st, opts, x_next, l_next)
         return st, (x_next, Z_mean(st, opts), Z_var(st, opts))

@@ -1,0 +1,85 @@
+"""State persistence for raw BQState pytrees (single problems and fleets).
+
+The reference persists one estimator per .npz (bq.py::BQ.save/load — that
+surface lives on the BQ class). This module is the functional counterpart
+for production checkpointing: any BQState (including batched fleet states
+with a leading problem axis) round-trips through one .npz; factorizations
+are stored too, so load is exact and refit-free, but ``refit=True``
+recomputes them (the reference's behavior).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpubq.models import bq as bqm
+from tpubq.models.gp import GPState
+from tpubq.utils.options import BQOptions
+
+__all__ = ["save_state", "load_state"]
+
+_OPT_FIELDS = (
+    "n_candidate", "candidate_thresh", "max_obs", "dim", "kernel", "dtype",
+    "base_jitter", "use_pallas", "n_gh",
+)
+
+
+def _flat(state: bqm.BQState):
+    out = {}
+    for name, val in state._asdict().items():
+        if isinstance(val, GPState):
+            for sub, sval in val._asdict().items():
+                out[f"{name}.{sub}"] = np.asarray(sval)
+        else:
+            out[name] = np.asarray(val)
+    return out
+
+
+def save_state(path, state: bqm.BQState, opts: BQOptions, force: bool = False):
+    """Write a BQState (+ its options) to one .npz."""
+    import os
+
+    if os.path.exists(str(path)) and not force:
+        raise IOError(f"{path} already exists (use force=True)")
+    np.savez(
+        path,
+        **_flat(state),
+        **{f"__opt_{k}": getattr(opts, k) for k in _OPT_FIELDS},
+    )
+
+
+def load_state(path, refit: bool = False):
+    """Read (state, opts) back. ``refit=True`` recomputes factorizations
+    (use after changing jax precision config or hardware)."""
+    import jax.numpy as jnp
+
+    with np.load(str(path), allow_pickle=False) as d:
+        opt_kwargs = {}
+        for k in _OPT_FIELDS:
+            v = d[f"__opt_{k}"][()]
+            if isinstance(v, (np.str_, np.bytes_)):
+                v = str(v)
+            elif hasattr(v, "item"):
+                v = v.item()
+            opt_kwargs[k] = v
+        opts = BQOptions(**opt_kwargs)
+
+        def gp(prefix):
+            return GPState(**{
+                sub: jnp.asarray(d[f"{prefix}.{sub}"]) for sub in GPState._fields
+            })
+
+        state = bqm.BQState(
+            **{
+                name: (gp(name) if name in ("gp_log_l", "gp_l") else jnp.asarray(d[name]))
+                for name in bqm.BQState._fields
+            }
+        )
+    if refit:
+        if state.ns.ndim == 0:
+            state = bqm._fit_gps_jit(state, opts, True)
+        else:  # fleet state: vmap the refit
+            import jax
+
+            state = jax.vmap(lambda s: bqm._fit_gps(s, opts, True))(state)
+    return state, opts
