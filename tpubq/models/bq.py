@@ -110,10 +110,15 @@ def choose_candidates(x_s, obs_mask, opts: BQOptions):
     center = jnp.sum(jnp.where(m[:, None], x_s, 0.0), axis=0) / n_live
     x_c = jnp.tile(center[None, :], (opts.n_candidate, 1))
     x_c = x_c.at[:, 0].set(grid0)
-    # mask out candidates within thresh of any live observation
+    return x_c, filter_candidates(x_c, x_s, m.astype(bool) if m.dtype != bool else m, opts.candidate_thresh)
+
+
+def filter_candidates(x_c, x_s, obs_mask, thresh):
+    """Mask of candidates at least ``thresh`` (sup-norm) from every live
+    observation (bq_c.pyx::filter_candidates; used by choose_candidates)."""
     dist = jnp.max(jnp.abs(x_c[:, None, :] - x_s[None, :, :]), axis=-1)
-    near = jnp.any(jnp.logical_and(dist < opts.candidate_thresh, m[None, :]), axis=1)
-    return x_c, jnp.logical_not(near)
+    near = jnp.any(jnp.logical_and(dist < thresh, obs_mask[None, :]), axis=1)
+    return jnp.logical_not(near)
 
 
 def _fit_gps(state: BQState, opts: BQOptions, ladder: bool = True) -> BQState:
