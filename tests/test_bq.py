@@ -405,3 +405,33 @@ def test_scan_active_loop_marginalized():
     )
     assert int(st.ns) == bq.ns + 2
     assert np.all(np.isfinite(np.asarray(zms)))
+
+
+def test_matern52_kernel_bq_end_to_end():
+    """Third kernel family via the kernel-agnostic quadrature Z paths."""
+    import tpubq
+    from scipy import stats
+
+    x = np.linspace(-2.2, 2.2, 10)
+    l = stats.norm.pdf(x, 0.2, 0.5)
+    bq = tpubq.BQ(x, l, kernel="matern52", n_candidate=10, candidate_thresh=0.2,
+                  x_mean=0.0, x_var=1.0, max_obs=16)
+    bq.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    zm = bq.Z_mean()
+    Z = tu.true_Z()
+    assert abs(zm - Z) / Z < 5e-2
+    assert bq.Z_var() >= 0
+    # quadrature twin agreement (Matérn has a derivative cusp at r=0, so
+    # Gauss–Hermite converges polynomially, not geometrically — 1e-3 at
+    # n_gh=128 is the expected rate, unlike the smooth kernels' 1e-9)
+    np.testing.assert_allclose(
+        zm, float(bqm.approx_Z_mean(bq.state, bq.options, tu.make_xo())), rtol=1e-3
+    )
+    bq.fit_hypers(seed=0)
+    assert abs(bq.Z_mean() - Z) / Z < 2e-2
+    grid = np.linspace(-3, 3, 41)
+    esm = bq.expected_squared_mean(grid)
+    gh = np.asarray(
+        acquire.approx_expected_squared_mean(bq.state, bq.options, grid)
+    )
+    np.testing.assert_allclose(esm, gh, rtol=1e-7)

@@ -56,9 +56,31 @@ def periodic_Kdiag(theta: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.full((x.shape[0],), h * h, dtype=x.dtype)
 
 
+def matern52_K(theta: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Matérn-5/2 Gram matrix: h² (1 + √5 r + 5r²/3) exp(−√5 r), r = ‖Δ/w‖.
+
+    Capability extension beyond the reference's two kernels (its GP engine
+    was kernel-pluggable in principle); Z/ESM paths route through the
+    Gauss–Hermite measure quadrature (tpubq.models.bq.int_K_measure), which
+    is kernel-agnostic.
+    """
+    h = theta[0]
+    w = theta[1:]
+    r2 = sqdist(x1, x2, w)
+    r = jnp.sqrt(r2 + 1e-36)  # safe at r = 0 (gradient-stable)
+    s5r = jnp.sqrt(5.0) * r
+    return (h * h) * (1.0 + s5r + (5.0 / 3.0) * r2) * jnp.exp(-s5r)
+
+
+def matern52_Kdiag(theta: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    h = theta[0]
+    return jnp.full((x.shape[0],), h * h, dtype=x.dtype)
+
+
 _KERNELS = {
     "gaussian": (gaussian_K, gaussian_Kdiag),
     "periodic": (periodic_K, periodic_Kdiag),
+    "matern52": (matern52_K, matern52_Kdiag),
 }
 
 
@@ -124,3 +146,12 @@ class PeriodicKernel(_KernelFacade):
 
     def __init__(self, h, w, p):
         super().__init__(h, w, p)
+
+
+class Matern52Kernel(_KernelFacade):
+    """Matérn-5/2; params (h, w)."""
+
+    _name = "matern52"
+
+    def __init__(self, h, w):
+        super().__init__(h, w)

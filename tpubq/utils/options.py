@@ -31,9 +31,9 @@ class BQOptions:
         a re-trace with a larger capacity (handled by the ``BQ`` wrapper).
       dim: input dimensionality d (reference is 1-D; closed forms here are
         general-d with diagonal kernel covariance).
-      kernel: covariance kernel family, "gaussian" or "periodic". Closed-form
-        Z integrals exist only for "gaussian"; "periodic" supports the
-        quadrature (approx) paths.
+      kernel: covariance kernel family: "gaussian", "periodic", or
+        "matern52". Closed-form Z integrals exist only for "gaussian"; other
+        families use the Gauss–Hermite measure-quadrature paths.
       dtype: "float64" (default, needed for 1e-6 parity) or "float32"
         (TPU hot path).
       base_jitter: relative diagonal conditioning always added before
@@ -56,7 +56,7 @@ class BQOptions:
     n_gh: int = 128
 
     def __post_init__(self):
-        if self.kernel not in ("gaussian", "periodic"):
+        if self.kernel not in ("gaussian", "periodic", "matern52"):
             raise ValueError(f"unknown kernel {self.kernel!r}")
         if self.dtype not in ("float64", "float32"):
             raise ValueError(f"unknown dtype {self.dtype!r}")
