@@ -50,8 +50,9 @@ def main():
                 jax.device_put(jnp.asarray(base + 1e-7 * i, opts.np_dtype)[:, None])
                 for i in range(4)
             ]
+            warm = jax.device_put(jnp.asarray(base + 5e-7, opts.np_dtype)[:, None])
             for name, fn in paths.items():
-                out = fn(state, opts, grids[0])
+                out = fn(state, opts, warm)
                 out.block_until_ready()
                 times = []
                 for g in grids:

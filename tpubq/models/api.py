@@ -20,21 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpubq.models import acquire, bq as bqm, fit as fitm, marginalize as margm
-from tpubq.utils.options import BQOptions
+from tpubq.utils.options import FIELD_NAMES as _OPTION_KEYS, BQOptions
 
 logger = logging.getLogger("tpubq")
-
-_OPTION_KEYS = (
-    "n_candidate",
-    "candidate_thresh",
-    "max_obs",
-    "dim",
-    "kernel",
-    "dtype",
-    "base_jitter",
-    "use_pallas",
-    "n_gh",
-)
 
 # Module-level jitted entry points, compiled once per (options, shape) pair.
 _z_mean = jax.jit(bqm.Z_mean, static_argnums=1)

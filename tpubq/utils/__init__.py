@@ -1,3 +1,3 @@
-from tpubq.utils import health, options, profiling
+from tpubq.utils import health, io, options, profiling
 
-__all__ = ["health", "options", "profiling"]
+__all__ = ["health", "io", "options", "profiling"]

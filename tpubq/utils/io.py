@@ -14,14 +14,16 @@ import numpy as np
 
 from tpubq.models import bq as bqm
 from tpubq.models.gp import GPState
-from tpubq.utils.options import BQOptions
+from tpubq.utils.options import FIELD_NAMES as _OPT_FIELDS, BQOptions
 
 __all__ = ["save_state", "load_state"]
 
-_OPT_FIELDS = (
-    "n_candidate", "candidate_thresh", "max_obs", "dim", "kernel", "dtype",
-    "base_jitter", "use_pallas", "n_gh",
-)
+
+def _npz_path(path) -> str:
+    """np.savez appends .npz to extensionless paths; normalize so the
+    overwrite guard and load see the real file."""
+    p = str(path)
+    return p if p.endswith(".npz") else p + ".npz"
 
 
 def _flat(state: bqm.BQState):
@@ -39,7 +41,8 @@ def save_state(path, state: bqm.BQState, opts: BQOptions, force: bool = False):
     """Write a BQState (+ its options) to one .npz."""
     import os
 
-    if os.path.exists(str(path)) and not force:
+    path = _npz_path(path)
+    if os.path.exists(path) and not force:
         raise IOError(f"{path} already exists (use force=True)")
     np.savez(
         path,
@@ -53,7 +56,7 @@ def load_state(path, refit: bool = False):
     (use after changing jax precision config or hardware)."""
     import jax.numpy as jnp
 
-    with np.load(str(path), allow_pickle=False) as d:
+    with np.load(_npz_path(path), allow_pickle=False) as d:
         opt_kwargs = {}
         for k in _OPT_FIELDS:
             v = d[f"__opt_{k}"][()]
@@ -76,10 +79,13 @@ def load_state(path, refit: bool = False):
             }
         )
     if refit:
+        import jax
+
         if state.ns.ndim == 0:
             state = bqm._fit_gps_jit(state, opts, True)
-        else:  # fleet state: vmap the refit
-            import jax
-
-            state = jax.vmap(lambda s: bqm._fit_gps(s, opts, True))(state)
+        else:  # fleet state: one compiled vmapped refit
+            state = jax.jit(
+                jax.vmap(bqm._fit_gps, in_axes=(0, None, None)),
+                static_argnums=(1, 2),
+            )(state, opts, True)
     return state, opts

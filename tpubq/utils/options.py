@@ -15,6 +15,21 @@ import dataclasses
 from typing import Optional
 
 
+#: Canonical serialization order of BQOptions fields (used by BQ.save/load
+#: and utils.io — keep single-sourced so checkpoints never drop an option).
+FIELD_NAMES = (
+    "n_candidate",
+    "candidate_thresh",
+    "max_obs",
+    "dim",
+    "kernel",
+    "dtype",
+    "base_jitter",
+    "use_pallas",
+    "n_gh",
+)
+
+
 @dataclasses.dataclass(frozen=True)
 class BQOptions:
     """Static (hashable) options for a BQ estimator.
