@@ -435,3 +435,64 @@ def test_matern52_kernel_bq_end_to_end():
         acquire.approx_expected_squared_mean(bq.state, bq.options, grid)
     )
     np.testing.assert_allclose(esm, gh, rtol=1e-7)
+
+
+def test_2d_default_init_is_dim_aware():
+    """ADVICE r1 (medium): BQ.init() defaults must track dim. A flat (1, 1)
+    theta in 2-D silently broadcast into wrong integrals (Z 0.203 vs 0.445);
+    now defaults are (h, w_1..w_d) and wrong lengths are hard errors."""
+    import tpubq
+    from scipy import stats
+
+    rng = np.random.RandomState(0)
+    mu_l = np.array([0.2, -0.1])
+    S_l = np.diag([0.3, 0.5])
+    g = np.linspace(-1.8, 1.8, 4)
+    X = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+    X = np.concatenate([X, rng.uniform(-2, 2, (8, 2))], axis=0)
+    L = stats.multivariate_normal.pdf(X, mu_l, S_l)
+    bq = tpubq.BQ(X, L, dim=2, n_candidate=6, candidate_thresh=0.25,
+                  x_mean=np.zeros(2), x_var=np.eye(2), max_obs=32)
+    bq.init()  # defaults: theta length dim+1
+    assert np.asarray(bq.gp_log_l.theta).shape == (3,)
+    assert np.asarray(bq.gp_l.theta).shape == (3,)
+    bq.fit_hypers(seed=0)
+    zm = bq.Z_mean()
+    z_true = stats.multivariate_normal.pdf(mu_l, np.zeros(2), np.eye(2) + S_l)
+    assert abs(zm - z_true) / z_true < 0.1
+    # wrong-length explicit params are rejected, not silently broadcast
+    with pytest.raises(ValueError):
+        bq.init(params_tl=(1.0, 1.0), params_l=(1.0, 1.0))
+
+
+def test_scalar_x_mean_broadcasts_in_2d():
+    """ADVICE r1: scalar x_mean must broadcast to (d,) like x_var does."""
+    import tpubq
+    from scipy import stats
+
+    g = np.linspace(-1.5, 1.5, 4)
+    X = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+    L = stats.multivariate_normal.pdf(X, np.zeros(2), np.eye(2) * 0.4)
+    bq = tpubq.BQ(X, L, dim=2, n_candidate=6, candidate_thresh=0.25,
+                  x_mean=0.0, x_var=1.0, max_obs=32)
+    bq.init()
+    np.testing.assert_allclose(bq.x_mean, np.zeros(2))
+    np.testing.assert_allclose(bq.x_var, np.eye(2))
+    assert np.isfinite(bq.Z_mean())
+
+
+def test_integral_w_length_guard():
+    """ADVICE r1: integral helpers reject length-scale vectors that do not
+    match the measure dimension (silent elementwise broadcast before)."""
+    from tpubq.ops import integrals as igr
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.RandomState(0).randn(5, 2))
+    mu = jnp.zeros(2)
+    Sig = jnp.eye(2)
+    with pytest.raises(ValueError):
+        igr.int_K(x, 1.0, jnp.ones(1), mu, Sig)
+    with pytest.raises(ValueError):
+        igr.int_int_K(2, 1.0, jnp.ones(3), mu, Sig)
+    with pytest.raises(ValueError):
+        igr.int_K1_K2(x, x, 1.0, jnp.ones(2), 1.0, jnp.ones(1), mu, Sig)

@@ -42,3 +42,40 @@ def test_fit_deterministic_given_seed():
     np.testing.assert_allclose(
         np.asarray(bq1.gp_log_l.theta), np.asarray(bq2.gp_log_l.theta), rtol=1e-12
     )
+
+
+def test_random_restarts_per_dimension_ranges():
+    """ADVICE r1: length-scale inits must use each dimension's own live
+    range, not dim 0's."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpubq.models.fit import random_restarts
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(np.stack([rng.uniform(0, 1.0, 64), rng.uniform(0, 100.0, 64)], -1))
+    y = jnp.asarray(rng.randn(64))
+    mask = jnp.ones(64, bool)
+    u = random_restarts(jax.random.PRNGKey(0), jnp.ones(3), x, y, mask, 64)
+    w = np.exp(np.asarray(u[1:, 1:]))  # skip the incumbent row
+    med0, med1 = np.median(w[:, 0]), np.median(w[:, 1])
+    assert med1 / med0 > 20.0  # tracks the 100x range ratio
+
+
+def test_random_restarts_periodic_seeding():
+    """Periodic family: w is unitless (O(1)), period spans spacing..2*range."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpubq.models.fit import random_restarts
+
+    x = jnp.asarray(np.linspace(0.0, 50.0, 32))[:, None]
+    y = jnp.asarray(np.sin(np.asarray(x[:, 0])))
+    mask = jnp.ones(32, bool)
+    u = random_restarts(
+        jax.random.PRNGKey(0), jnp.ones(3), x, y, mask, 64, kernel="periodic"
+    )
+    th = np.exp(np.asarray(u[1:]))
+    assert th[:, 1].max() <= 2.0 + 1e-6 and th[:, 1].min() >= 0.1 - 1e-6
+    spacing = 50.0 / 31.0
+    assert th[:, 2].min() >= spacing - 1e-6 and th[:, 2].max() <= 100.0 + 1e-6

@@ -86,8 +86,12 @@ class BQ:
             self.init()
         return self._state
 
-    def init(self, params_tl=(1.0, 1.0), params_l=(1.0, 1.0)):
-        """Construct both GPs (bq.py::BQ.init)."""
+    def init(self, params_tl=None, params_l=None):
+        """Construct both GPs (bq.py::BQ.init).
+
+        Defaults are dim-aware: (h=1, w_1..w_d=1) for gaussian/matern52,
+        (h, w, p) = (1, 1, 1) for periodic. Explicit params are validated
+        against the kernel family and dim (len must be dim+1 for gaussian)."""
         self._state = bqm.init_state(
             self._x0,
             self._l0,
@@ -209,7 +213,7 @@ class BQ:
         )
 
         def _fit(key_r, key_f, theta, s, x, y, mask):
-            inits = fitm.random_restarts(key_r, theta, x, y, mask, ntry)
+            inits = fitm.random_restarts(key_r, theta, x, y, mask, ntry, kernel=opts.kernel)
             if fused:
                 return fitm.fit_params_fused(theta, s, x, y, mask, key_f, inits)
             return fitm.fit_params(opts.kernel, theta, s, x, y, mask, key_f, inits)

@@ -163,19 +163,54 @@ def _fit_gps(state: BQState, opts: BQOptions, ladder: bool = True) -> BQState:
 _fit_gps_jit = jax.jit(_fit_gps, static_argnums=(1, 2))
 
 
+def default_params(opts: BQOptions):
+    """Dim-aware default kernel params: (h=1, w_1..w_d=1) — or (h, w, p) for
+    the periodic family. A flat (1.0, 1.0) default silently broadcasts wrong
+    for d > 1 (ADVICE r1), so defaults must track opts.dim."""
+    if opts.kernel == "periodic":
+        return (1.0, 1.0, 1.0)
+    return (1.0,) + (1.0,) * opts.dim
+
+
+def validate_theta(theta, opts: BQOptions, name="theta"):
+    """Trace-time check that the flat kernel param vector matches the family.
+
+    gaussian/matern52 need (h, w_1..w_d) = dim+1 entries; periodic needs
+    (h, w, p) and is 1-D. A length-1 w broadcast elementwise into W + Sigma
+    computes silently-wrong integrals (ADVICE r1, medium), hence hard errors.
+    """
+    n = int(theta.shape[0]) if hasattr(theta, "shape") else len(theta)
+    if opts.kernel == "periodic":
+        if opts.dim != 1:
+            raise ValueError("periodic kernel is 1-D only")
+        if n != 3:
+            raise ValueError(f"{name} for periodic kernel must be (h, w, p); got {n} entries")
+    else:
+        if n != opts.dim + 1:
+            raise ValueError(
+                f"{name} for {opts.kernel} kernel in dim {opts.dim} must have "
+                f"{opts.dim + 1} entries (h, w_1..w_d); got {n}"
+            )
+
+
 def init_state(
     x,
     l,
     opts: BQOptions,
-    params_tl=(1.0, 1.0),
-    params_l=(1.0, 1.0),
+    params_tl=None,
+    params_l=None,
     s_tl=0.0,
     s_l=0.0,
     gamma=1.0,
     x_mean=None,
     x_var=None,
 ) -> BQState:
-    """Build a BQState from raw observations (bq.py::BQ.__init__ + init)."""
+    """Build a BQState from raw observations (bq.py::BQ.__init__ + init).
+
+    ``params_tl`` / ``params_l`` default to the dim-aware unit params
+    (h=1, w_j=1 per input dimension); explicit params are validated against
+    the kernel family and ``opts.dim``.
+    """
     dtype = opts.np_dtype
     x = jnp.asarray(x, dtype=dtype)
     if x.ndim == 1:
@@ -188,6 +223,10 @@ def init_state(
         raise ValueError(f"{n} observations exceed max_obs={opts.max_obs}")
     if l.shape != (n,):
         raise ValueError("l must be (n,) matching x")
+    if params_tl is None:
+        params_tl = default_params(opts)
+    if params_l is None:
+        params_l = default_params(opts)
 
     pad = opts.max_obs - n
     x_s = jnp.concatenate([x, jnp.zeros((pad, d), dtype=dtype)], axis=0)
@@ -197,7 +236,9 @@ def init_state(
     if x_mean is None:
         x_mean = jnp.zeros((d,), dtype=dtype)
     else:
-        x_mean = jnp.asarray(x_mean, dtype=dtype).reshape((d,))
+        # Broadcast scalar/0-d to (d,) — mirrors the x_var scalar handling
+        # below (a bare reshape crashes for d > 1; ADVICE r1).
+        x_mean = jnp.broadcast_to(jnp.asarray(x_mean, dtype=dtype).ravel(), (d,))
     if x_var is None:
         x_var = jnp.eye(d, dtype=dtype)
     else:
@@ -209,6 +250,8 @@ def init_state(
 
     theta_tl = jnp.asarray(params_tl, dtype=dtype)
     theta_l = jnp.asarray(params_l, dtype=dtype)
+    validate_theta(theta_tl, opts, "params_tl")
+    validate_theta(theta_l, opts, "params_l")
     nc = opts.n_candidate
     nsc = opts.max_nsc
     empty_gp_tl = gpm.GPState(

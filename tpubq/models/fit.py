@@ -35,13 +35,15 @@ def _objective(kfn, s, x, y, mask, jitter):
     return obj
 
 
-def random_restarts(key, theta0, x, y, mask, n_restart: int):
+def random_restarts(key, theta0, x, y, mask, n_restart: int, kernel: str = "gaussian"):
     """Data-driven restart initializations in log-space, (n_restart, p).
 
     Restart 0 is the current theta (the reference also tries the incumbent);
-    the rest sample log h around the live-target scale and log w around the
-    live-input range — the same heuristics the reference uses to seed its
-    ``ntry`` loop.
+    the rest sample log h around the live-target scale and each log w_j
+    around that dimension's live-input range (per-dimension ranges, not
+    dim 0's — ADVICE r1). The periodic family gets kernel-aware seeding:
+    its ``w`` is a unitless shape parameter (sampled O(1)) and the period is
+    sampled between the dominant observation spacing and twice the range.
     """
     dtype = x.dtype
     m = mask.astype(dtype)
@@ -49,17 +51,29 @@ def random_restarts(key, theta0, x, y, mask, n_restart: int):
     ymean = jnp.sum(y * m) / n_live
     ystd = jnp.sqrt(jnp.maximum(jnp.sum(m * (y - ymean) ** 2) / n_live, 1e-12))
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    x0 = x[:, 0]
-    xrange = jnp.maximum(
-        jnp.max(jnp.where(mask, x0, -big)) - jnp.min(jnp.where(mask, x0, big)), 1e-6
-    )
+    xr = jnp.maximum(
+        jnp.max(jnp.where(mask[:, None], x, -big), axis=0)
+        - jnp.min(jnp.where(mask[:, None], x, big), axis=0),
+        1e-6,
+    )  # (d,) per-dimension live ranges
     p = theta0.shape[0]
-    kh, kw = jax.random.split(key)
+    kh, kw, kp = jax.random.split(key, 3)
     log_h = jnp.log(ystd) + jax.random.uniform(kh, (n_restart, 1), dtype, -2.0, 2.0)
-    log_w = jnp.log(xrange) + jax.random.uniform(
-        kw, (n_restart, p - 1), dtype, jnp.log(0.05), jnp.log(2.0)
-    )
-    u = jnp.concatenate([log_h, log_w], axis=1)
+    if kernel == "periodic":
+        # theta = (h, w, period); w is unitless, period has input units.
+        log_w = jax.random.uniform(
+            kw, (n_restart, 1), dtype, jnp.log(0.1), jnp.log(2.0)
+        )
+        spacing = xr[0] / jnp.maximum(n_live - 1.0, 1.0)
+        log_p = jax.random.uniform(
+            kp, (n_restart, 1), dtype, jnp.log(spacing), jnp.log(2.0 * xr[0])
+        )
+        u = jnp.concatenate([log_h, log_w, log_p], axis=1)
+    else:
+        log_w = jnp.log(xr)[None, :] + jax.random.uniform(
+            kw, (n_restart, p - 1), dtype, jnp.log(0.05), jnp.log(2.0)
+        )
+        u = jnp.concatenate([log_h, log_w], axis=1)
     return u.at[0].set(jnp.log(theta0))
 
 
@@ -84,7 +98,7 @@ def fit_params(
     kfn, _ = get_kernel(kernel)
     obj = _objective(kfn, s, x, y, mask, jitter)
     if n_restart_inits is None:
-        n_restart_inits = random_restarts(key, theta0, x, y, mask, 10)
+        n_restart_inits = random_restarts(key, theta0, x, y, mask, 10, kernel=kernel)
 
     opt = optax.lbfgs()
     value_and_grad = optax.value_and_grad_from_state(obj)

@@ -73,12 +73,27 @@ def _W(w):
     return jnp.diag(w * w)
 
 
+def _check_w(Sigma, *ws):
+    """Trace-time guard: every length-scale vector must match the measure's
+    dimension. A length-1 w broadcasting elementwise into ``W + Sigma``
+    silently computes a different integral (ADVICE r1, medium) — fail instead."""
+    d = Sigma.shape[-1]
+    for w in ws:
+        w = jnp.asarray(w)
+        if w.ndim != 1 or w.shape[0] != d:
+            raise ValueError(
+                f"kernel length-scales must be a ({d},) vector matching the "
+                f"measure dimension; got shape {tuple(w.shape)}"
+            )
+
+
 def int_K(x, h, w, mu, Sigma):
     """∫ k(x', x_i) N(x' | mu, Sigma) dx'  →  (n,).
 
     Identity: c · N(x_i | mu, W + Sigma).
     Reference: bq_c.pyx::int_K.
     """
+    _check_w(Sigma, w)
     return _scale(h, w) * jnp.exp(gauss_logpdf(x, mu, _W(w) + Sigma))
 
 
@@ -89,6 +104,7 @@ def int_int_K(d, h, w, mu, Sigma):
     Reference: bq_c.pyx::int_int_K.
     """
     del d, mu
+    _check_w(Sigma, w)
     zero = jnp.zeros((w.shape[0],), dtype=w.dtype)
     return _scale(h, w) * jnp.exp(gauss_logpdf(zero, zero, _W(w) + 2.0 * Sigma))
 
@@ -101,6 +117,7 @@ def int_K1_K2(x1, x2, h1, w1, h2, w2, mu, Sigma):
         c1 c2 · N(x1_i | x2_j, W1 + W2) · N(m_ij | mu, C + Sigma).
     Reference: bq_c.pyx::int_K1_K2.
     """
+    _check_w(Sigma, w1, w2)
     W1, W2 = _W(w1), _W(w2)
     # Diagonal algebra for C and m (W1, W2 diagonal).
     w1s, w2s = w1 * w1, w2 * w2
@@ -124,6 +141,7 @@ def int_int_K1_K2(x1, x2, h1, w1, h2, w2, mu, Sigma):
                 · N(δm_ab | 0, 2 S1 + W2).
     Reference: bq_c.pyx::int_int_K1_K2.
     """
+    _check_w(Sigma, w1, w2)
     W1, W2 = _W(w1), _W(w2)
     A = W1 + Sigma
     S1 = W1 @ jnp.linalg.solve(A, Sigma)  # (W1^{-1} + Sigma^{-1})^{-1}
@@ -147,6 +165,7 @@ def int_K1_int_K2(x1, h1, w1, h2, w2, mu, Sigma):
     (Cross term between the linear-GP mean and the prior-mean part of the
     transported covariance; see tpubq.models.bq.Z_var.)
     """
+    _check_w(Sigma, w1, w2)
     W1, W2 = _W(w1), _W(w2)
     B = W2 + Sigma
     S3 = B @ jnp.linalg.solve(W2 + 2.0 * Sigma, Sigma)

@@ -32,15 +32,19 @@ __all__ = ["choose_next_sharded", "marginalize_sharded", "pad_to_multiple"]
 
 
 def pad_to_multiple(arr: jnp.ndarray, m: int, axis: int = 0):
-    """Edge-repeat pad along ``axis`` to a multiple of m; returns (padded, n_real)."""
+    """Edge-repeat pad along ``axis`` to a multiple of m; returns (padded, n_real).
+
+    Implemented as one gather (``take`` with a clamped index) rather than
+    slice+repeat+concat: under GSPMD the concat formulation back-propagates
+    the downstream shard spec onto a size-1 reshape, forcing an involuntary
+    full rematerialization; the gather partitions cleanly.
+    """
     n = arr.shape[axis]
     rem = (-n) % m
     if rem == 0:
         return arr, n
-    idx = [slice(None)] * arr.ndim
-    idx[axis] = slice(n - 1, n)
-    pad = jnp.repeat(arr[tuple(idx)], rem, axis=axis)
-    return jnp.concatenate([arr, pad], axis=axis), n
+    idx = jnp.minimum(jnp.arange(n + rem), n - 1)
+    return jnp.take(arr, idx, axis=axis), n
 
 
 def choose_next_sharded(

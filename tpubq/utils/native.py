@@ -10,6 +10,8 @@ compiler is present.
 from __future__ import annotations
 
 import ctypes
+import hashlib
+import math
 import pathlib
 import subprocess
 
@@ -17,7 +19,14 @@ import numpy as np
 
 _ROOT = pathlib.Path(__file__).resolve().parents[2]
 _SRC = _ROOT / "native" / "bq_native.cpp"
-_SO = _ROOT / "native" / "build" / "libbq_native.so"
+
+
+def _so_path() -> pathlib.Path:
+    """Build artifact keyed by a source content hash (mtimes are unreliable
+    after git checkout: source and a stale .so get identical timestamps)."""
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    return _ROOT / "native" / "build" / f"libbq_native-{digest}.so"
+
 
 _lib = None
 _tried = False
@@ -44,13 +53,30 @@ _SIG = {
 }
 
 
-def _build():
-    _SO.parent.mkdir(parents=True, exist_ok=True)
+def _build(so: pathlib.Path):
+    so.parent.mkdir(parents=True, exist_ok=True)
+    # No -march=native: the artifact may outlive the build host (e.g. restored
+    # from a cache) and ISA-specific code SIGILLs elsewhere. -O3 is enough for
+    # an oracle/baseline library.
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_SO),
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        str(_SRC), "-o", str(so),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _open(so: pathlib.Path):
+    lib = ctypes.CDLL(str(so))
+    for name, (argtypes, restype) in _SIG.items():
+        fn = getattr(lib, name)
+        fn.argtypes = argtypes
+        fn.restype = restype
+    # Selftest: int_int_K(h=1, w=1, mu=0, s2=1) = 1/sqrt(1 + 2) (closed form);
+    # catches a foreign/incompatible binary before callers trust it.
+    got = float(lib.bq_int_int_K(1.0, 1.0, 0.0, 1.0))
+    if not math.isfinite(got) or abs(got - 1.0 / math.sqrt(3.0)) > 1e-9:
+        raise OSError(f"bq_native selftest failed: {got}")
+    return lib
 
 
 def _load():
@@ -59,14 +85,15 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            _build()
-        lib = ctypes.CDLL(str(_SO))
-        for name, (argtypes, restype) in _SIG.items():
-            fn = getattr(lib, name)
-            fn.argtypes = argtypes
-            fn.restype = restype
-        _lib = lib
+        so = _so_path()
+        if not so.exists():
+            _build(so)
+        try:
+            _lib = _open(so)
+        except OSError:
+            # stale/foreign artifact → rebuild once from source and retry
+            _build(so)
+            _lib = _open(so)
     except Exception:  # no compiler / load failure → oracle unavailable
         _lib = None
     return _lib
