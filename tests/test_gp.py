@@ -96,3 +96,44 @@ def test_gp_fit_ladder_vmappable():
 
     alphas = jax.vmap(fit_one)(thetas)
     assert np.all(np.isfinite(np.asarray(alphas)))
+
+
+def test_conditioning_collapse_fails_loudly():
+    """VERDICT r1 #7: an unsalvageable Gram (non-finite inputs) must surface
+    as ok=False + NaN-poisoned alpha, and the BQ wrapper must raise."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tpubq.models import gp as gpm
+    from tpubq.ops.kernels import get_kernel
+
+    kfn, _ = get_kernel("gaussian")
+    x = jnp.asarray(np.linspace(-1, 1, 6))[:, None].at[2, 0].set(np.nan)
+    y = jnp.ones(6)
+    mask = jnp.ones(6, bool)
+    st = gpm.gp_fit(kfn, jnp.asarray([1.0, 1.0]), 0.0, x, y, mask)
+    assert not bool(st.ok)
+    assert np.all(np.isnan(np.asarray(st.alpha)))
+
+    # and through the user API: x is not validated for finiteness, so this
+    # is exactly the silent-garbage path the check exists for
+    import tpubq
+
+    xs = np.linspace(-2, 2, 8)
+    xs[3] = np.nan
+    bq = tpubq.BQ(xs, np.exp(-0.5 * np.nan_to_num(xs) ** 2), x_mean=0.0, x_var=1.0)
+    bq.init()
+    with pytest.raises(FloatingPointError):
+        bq.Z_mean()
+
+
+def test_gp_fit_ok_true_on_healthy_gram():
+    import jax.numpy as jnp
+
+    from tpubq.models import gp as gpm
+    from tpubq.ops.kernels import get_kernel
+
+    kfn, _ = get_kernel("gaussian")
+    x = jnp.asarray(np.linspace(-1, 1, 6))[:, None]
+    st = gpm.gp_fit(kfn, jnp.asarray([1.0, 1.0]), 0.1, x, jnp.ones(6), jnp.ones(6, bool))
+    assert bool(st.ok) and np.all(np.isfinite(np.asarray(st.alpha)))

@@ -3,7 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+from tests import util as tu
 from tpubq.models.marginalize import slice_sample
 
 
@@ -46,3 +48,64 @@ def test_slice_sample_respects_support():
     )
     assert np.all(us > 0)
     assert abs(us.mean() - 1.0) < 0.1  # Exp(1) mean
+
+
+def test_param_subset_sampling_freezes_unlisted():
+    """VERDICT r1 #5: sample_hypers(params) moves only the named hypers."""
+    bq = tu.make_bq()
+    th = bq.sample_hypers(params=("h",), n=6, seed=1)
+    assert th.shape == (6, 2)
+    assert np.allclose(th[:, 1], th[0, 1])  # w frozen
+    assert np.std(th[:, 0]) > 0  # h moves
+
+
+def test_param_subset_fit_freezes_unlisted():
+    """VERDICT r1 #5: fit_hypers(params) leaves unlisted hypers bit-identical."""
+    bq = tu.make_bq()
+    w_tl = float(np.asarray(bq.gp_log_l.theta)[1])
+    w_l = float(np.asarray(bq.gp_l.theta)[1])
+    h_tl = float(np.asarray(bq.gp_log_l.theta)[0])
+    bq.fit_hypers(params=("h",), seed=0)
+    assert float(np.asarray(bq.gp_log_l.theta)[1]) == w_tl
+    assert float(np.asarray(bq.gp_l.theta)[1]) == w_l
+    assert float(np.asarray(bq.gp_log_l.theta)[0]) != h_tl
+    with pytest.raises(ValueError):
+        bq.fit_hypers(params=("bogus",))
+
+
+def test_joint_sampling_marginalizes_both_gps():
+    """VERDICT r1 #4: '*_l' params sample (theta_tl, theta_l) jointly; the
+    batched marginalize over joint rows equals a sequential oracle that sets
+    both GPs' hypers per sample."""
+    import jax.numpy as jnp
+
+    from tpubq.models import bq as bqm
+    from tpubq.models.marginalize import marginalize
+
+    bq = tu.make_bq()
+    st, opts = bq.state, bq.options
+    thetas = bq.sample_hypers(params=("h", "w", "h_l", "w_l"), n=6, seed=3)
+    assert thetas.shape == (6, 4)
+    assert np.std(thetas[:, 2]) > 0 and np.std(thetas[:, 3]) > 0  # theta_l moves
+
+    zm_b, zv_b = marginalize(st, opts, jnp.asarray(thetas))
+    # sequential oracle: install each joint row one at a time
+    for i in range(6):
+        s_i = bqm.set_params(
+            st, opts, theta_tl=thetas[i, :2], theta_l=thetas[i, 2:], ladder=True
+        )
+        np.testing.assert_allclose(float(bqm.Z_mean(s_i, opts)), float(zm_b[i]), rtol=1e-10)
+        # V[Z] is cancellation-prone; vmapped-vs-single factorization ulps show up
+        np.testing.assert_allclose(float(bqm.Z_var(s_i, opts)), float(zv_b[i]), rtol=1e-6)
+
+
+def test_joint_vs_tl_only_spread():
+    """Joint (both-GP) marginalization is the wider posterior: holding theta_l
+    at its point estimate understates the E[Z] spread. Statistical check with
+    a fixed seed (documented semantics, VERDICT r1 #4)."""
+    bq = tu.make_bq()
+    zm_tl, _ = bq.marginalize(n=40, seed=7)
+    zm_joint, _ = bq.marginalize(n=40, params=("h", "w", "h_l", "w_l"), seed=7)
+    assert np.isfinite(zm_joint).all() and np.isfinite(zm_tl).all()
+    # the joint chain must actually explore theta_l: spreads differ
+    assert not np.allclose(np.std(zm_joint), np.std(zm_tl), rtol=1e-3)

@@ -251,10 +251,12 @@ def expected_Z_var(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
     return zm * zm + zv - expected_squared_mean(state, opts, x_a)
 
 
-def _esm_given_theta(state: BQState, opts: BQOptions, theta_tl, x_a):
-    """Re-anchor under hyper sample θ_tl, then score — vmapped by choose_next."""
-    gp_tl = state.gp_log_l._replace(theta=theta_tl)
-    st = _fit_gps(state._replace(gp_log_l=gp_tl), opts, ladder=True)
+def _esm_given_theta(state: BQState, opts: BQOptions, theta, x_a):
+    """Re-anchor under one hyper sample (θ_tl or joint θ_tl ∥ θ_l — the row
+    width dispatches, see bq.apply_hyper_sample), then score."""
+    from tpubq.models.bq import apply_hyper_sample
+
+    st = apply_hyper_sample(state, opts, theta, ladder=True)
     return expected_squared_mean(st, opts, x_a)
 
 

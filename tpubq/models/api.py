@@ -176,10 +176,29 @@ class BQ:
         return self.state.gp_l
 
     # ------------------------------------------------------------- estimation
+    def _check_factorized(self):
+        """Raise if either GP's conditioning ladder was exhausted (the factor
+        is not finite). Checked once per distinct state (estimates built on a
+        collapsed factor are NaN-poisoned by gp_fit — this turns that into a
+        loud, actionable error at the API boundary)."""
+        st = self.state
+        if st is getattr(self, "_ok_state", None):
+            return
+        if not (bool(np.asarray(st.gp_log_l.ok)) and bool(np.asarray(st.gp_l.ok))):
+            raise FloatingPointError(
+                "Gram factorization failed: the jitter ladder was exhausted "
+                "without a finite Cholesky factor (conditioning collapse — "
+                "check inputs for non-finite x or pathological kernel params; "
+                "see tpubq.utils.health.check_state for diagnostics)"
+            )
+        self._ok_state = st
+
     def Z_mean(self) -> float:
+        self._check_factorized()
         return float(_z_mean(self.state, self.options))
 
     def Z_var(self) -> float:
+        self._check_factorized()
         return float(_z_var(self.state, self.options))
 
     def _is_single_point(self, x_a) -> bool:
@@ -187,20 +206,44 @@ class BQ:
         return nd == 0 or (self.options.dim > 1 and nd == 1)
 
     def expected_squared_mean(self, x_a) -> np.ndarray:
+        self._check_factorized()
         out = np.asarray(_esm(self.state, self.options, jnp.asarray(x_a)))
         return out[0] if self._is_single_point(x_a) else out
 
     def expected_Z_var(self, x_a) -> np.ndarray:
+        self._check_factorized()
         out = np.asarray(_ezv(self.state, self.options, jnp.asarray(x_a)))
         return out[0] if self._is_single_point(x_a) else out
 
     # ---------------------------------------------------------------- fitting
+    def _param_free_mask(self, params) -> Optional[jnp.ndarray]:
+        """(p,) bool mask over one GP's local theta from reference-style hyper
+        names ('h', 'w', 'p'); None when every param is free."""
+        from tpubq.models.marginalize import _names_for
+
+        local = _names_for(self.options)
+        params = tuple(params)
+        unknown = set(params) - set(local)
+        if unknown:
+            raise ValueError(
+                f"unknown hyperparameters {sorted(unknown)} for kernel "
+                f"{self.options.kernel!r}; valid: {sorted(local)}"
+            )
+        p_len = int(self.state.gp_log_l.theta.shape[0])
+        free = np.zeros(p_len, bool)
+        for nm in params:
+            free[list(local[nm])] = True
+        return None if free.all() else jnp.asarray(free)
+
     def fit_hypers(self, params: Sequence[str] = ("h", "w"), ntry: int = 10, seed=None):
-        """Multi-restart MLL fit of both GPs' kernel params
-        (bq.py::BQ.fit_hypers; restarts run as one vmapped L-BFGS)."""
-        del params  # reference allows subsets; we always fit (h, w)
+        """Multi-restart MLL fit of the NAMED kernel params on both GPs
+        (bq.py::BQ.fit_hypers parity, incl. the ``params`` subset: unlisted
+        hypers stay bit-identical). Restarts run as one vmapped L-BFGS."""
         st = self.state
         opts = self.options
+        if opts.kernel == "periodic" and tuple(params) == ("h", "w"):
+            params = ("h", "w", "p")  # default = every param of the family
+        free_mask = self._param_free_mask(params)
         k1, k2, k3, k4 = jax.random.split(self._key(seed), 4)
         from tpubq.ops.pallas_kernels import on_tpu
 
@@ -215,8 +258,12 @@ class BQ:
         def _fit(key_r, key_f, theta, s, x, y, mask):
             inits = fitm.random_restarts(key_r, theta, x, y, mask, ntry, kernel=opts.kernel)
             if fused:
-                return fitm.fit_params_fused(theta, s, x, y, mask, key_f, inits)
-            return fitm.fit_params(opts.kernel, theta, s, x, y, mask, key_f, inits)
+                return fitm.fit_params_fused(
+                    theta, s, x, y, mask, key_f, inits, free_mask=free_mask
+                )
+            return fitm.fit_params(
+                opts.kernel, theta, s, x, y, mask, key_f, inits, free_mask=free_mask
+            )
 
         theta_tl, mll_tl = _fit(
             k1, k2, st.gp_log_l.theta, st.gp_log_l.s, st.x_s, st.tl_s, st.obs_mask
@@ -234,35 +281,67 @@ class BQ:
     #: BASELINE.json spells the public method ``fit``.
     fit = fit_hypers
 
-    def sample_hypers(self, n: int, nburn: int = 10, seed=None) -> np.ndarray:
-        """Slice-sample θ_tl posteriors (bq.py::BQ.sample_hypers)."""
+    @staticmethod
+    def _norm_params(params) -> tuple:
+        """Normalize a params argument to the static tuple the sampler takes.
+        ``None`` → the reference default (θ_tl's h, w)."""
+        if params is None:
+            return ("h", "w")
+        if isinstance(params, str):
+            return (params,)
+        return tuple(params)
+
+    def sample_hypers(self, params=None, n: int = 100, nburn: int = 10, seed=None) -> np.ndarray:
+        """Slice-sample hyperparameter posteriors (bq.py::BQ.sample_hypers
+        signature: ``sample_hypers(params, n, nburn)``).
+
+        ``params`` names which hypers move ('h', 'w' → θ_tl, the reference
+        vocabulary; add '*_l' names to sample the linear GP's jointly — rows
+        then come back stacked (θ_tl ∥ θ_l), see
+        tpubq.models.marginalize.sample_hypers). A bare int first argument is
+        accepted as ``n`` (tpubq r1 signature compatibility).
+        """
+        if isinstance(params, (int, np.integer)):
+            params, n = None, int(params)
         return np.asarray(
-            margm.sample_hypers(self.state, self.options, self._key(seed), n, nburn)
+            margm.sample_hypers(
+                self.state, self.options, self._key(seed), n, nburn,
+                self._norm_params(params),
+            )
         )
 
     def marginalize(self, funs=None, n: int = 100, params=None, seed=None):
         """Hyperparameter-marginalized estimates (bq.py::BQ.marginalize).
 
         ``funs`` defaults to (Z_mean, Z_var); strings "Z_mean"/"Z_var" are
-        also accepted. Returns a tuple of (n,) numpy arrays.
+        also accepted. ``params`` selects which hypers are sampled (see
+        ``sample_hypers``; '*_l' names marginalize the linear GP's hypers
+        jointly). Returns a tuple of (n,) numpy arrays.
         """
-        del params
+        self._check_factorized()
         named = {"Z_mean": bqm.Z_mean, "Z_var": bqm.Z_var}
         if funs is None:
             funs = (bqm.Z_mean, bqm.Z_var)
         funs = tuple(named.get(f, f) for f in funs)
-        thetas = margm.sample_hypers(self.state, self.options, self._key(seed), n)
+        thetas = margm.sample_hypers(
+            self.state, self.options, self._key(seed), n,
+            params=self._norm_params(params),
+        )
         outs = margm.marginalize(self.state, self.options, thetas, funs)
         return tuple(np.asarray(o) for o in outs)
 
     # --------------------------------------------------------- active sampling
     def choose_next(self, x_a, n: int = 0, params=None, seed=None, plot: bool = False):
         """Best next sample location from a grid, optionally marginalizing ESM
-        over ``n`` hyper samples (bq.py::BQ.choose_next)."""
-        del params
+        over ``n`` hyper samples of the named ``params``
+        (bq.py::BQ.choose_next)."""
+        self._check_factorized()
         hyper = None
         if n and n > 0:
-            hyper = margm.sample_hypers(self.state, self.options, self._key(seed), n)
+            hyper = margm.sample_hypers(
+                self.state, self.options, self._key(seed), n,
+                params=self._norm_params(params),
+            )
         x_best, scores = _choose(self.state, self.options, jnp.asarray(x_a), hyper)
         if plot:
             from tpubq.utils import plotting

@@ -263,6 +263,7 @@ def init_state(
         jnp.eye(opts.max_obs, dtype=dtype),
         jnp.zeros((opts.max_obs,), dtype),
         jnp.asarray(0.0, dtype),
+        jnp.asarray(True),
     )
     empty_gp_l = gpm.GPState(
         theta_l,
@@ -273,6 +274,7 @@ def init_state(
         jnp.eye(nsc, dtype=dtype),
         jnp.zeros((nsc,), dtype),
         jnp.asarray(0.0, dtype),
+        jnp.asarray(True),
     )
     state = BQState(
         x_s=x_s,
@@ -301,6 +303,26 @@ def set_params(state: BQState, opts: BQOptions, theta_tl=None, theta_l=None, lad
     if theta_l is not None:
         gp_l = gp_l._replace(theta=jnp.asarray(theta_l, state.x_s.dtype))
     return _fit_gps_jit(state._replace(gp_log_l=gp_tl, gp_l=gp_l), opts, ladder)
+
+
+def apply_hyper_sample(state: BQState, opts: BQOptions, theta, ladder=True) -> BQState:
+    """Install one hyper-sample row and refactorize.
+
+    Width p_tl rows set θ_tl only (reference ``marginalize`` semantics);
+    width p_tl + p_l rows (from joint ``sample_hypers`` with ``*_l`` params)
+    set both GPs' hypers. Every kernel family has p_l == p_tl, so the width
+    disambiguates statically.
+    """
+    theta = jnp.asarray(theta, state.x_s.dtype)
+    p_tl = state.gp_log_l.theta.shape[0]
+    if theta.shape[0] == p_tl:
+        return set_params(state, opts, theta_tl=theta, ladder=ladder)
+    if theta.shape[0] != p_tl + state.gp_l.theta.shape[0]:
+        raise ValueError(
+            f"hyper sample has width {theta.shape[0]}; expected {p_tl} (θ_tl) "
+            f"or {p_tl + state.gp_l.theta.shape[0]} (joint θ_tl ∥ θ_l)"
+        )
+    return set_params(state, opts, theta_tl=theta[:p_tl], theta_l=theta[p_tl:], ladder=ladder)
 
 
 # ---------------------------------------------------------------------------

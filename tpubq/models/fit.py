@@ -24,10 +24,16 @@ from tpubq.ops.kernels import get_kernel
 __all__ = ["fit_params", "random_restarts"]
 
 
-def _objective(kfn, s, x, y, mask, jitter):
-    """Negative masked log-MLL as a function of u = log(theta)."""
+def _objective(kfn, s, x, y, mask, jitter, free_mask=None, u_frozen=None):
+    """Negative masked log-MLL as a function of u = log(theta).
+
+    ``free_mask``: optional (p,) bool — frozen coordinates are pinned to
+    ``u_frozen`` so the optimizer cannot move them (reference
+    ``fit_hypers(params)`` subset semantics)."""
 
     def obj(u):
+        if free_mask is not None:
+            u = jnp.where(free_mask, u, u_frozen)
         theta = jnp.exp(u)
         mll = gpm.log_mll(kfn, theta, s, x, y, mask, jitter)
         return -mll
@@ -89,14 +95,19 @@ def fit_params(
     n_restart_inits: jnp.ndarray = None,
     n_iter: int = 60,
     jitter: float = 1e-10,
+    free_mask: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Maximize the masked MLL over kernel params; returns (theta_best, mll_best).
 
     ``n_restart_inits``: optional (R, p) log-space inits; defaults to 10
     ``random_restarts``. All restarts run in one vmapped L-BFGS program.
+    ``free_mask``: optional (p,) bool — only True coordinates are optimized;
+    the rest return bit-identical to ``theta0`` (reference
+    ``fit_hypers(params)`` subsets).
     """
     kfn, _ = get_kernel(kernel)
-    obj = _objective(kfn, s, x, y, mask, jitter)
+    u_frozen = jnp.log(theta0)
+    obj = _objective(kfn, s, x, y, mask, jitter, free_mask, u_frozen)
     if n_restart_inits is None:
         n_restart_inits = random_restarts(key, theta0, x, y, mask, 10, kernel=kernel)
 
@@ -121,7 +132,10 @@ def fit_params(
     vals = jax.vmap(obj)(u_final)
     vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
     best = jnp.argmin(vals)
-    return jnp.exp(u_final[best]), -vals[best]
+    theta_best = jnp.exp(u_final[best])
+    if free_mask is not None:
+        theta_best = jnp.where(free_mask, theta_best, theta0)  # frozen = bit-identical
+    return theta_best, -vals[best]
 
 
 @partial(jax.jit, static_argnames=("n_iter", "interpret"))
@@ -137,6 +151,7 @@ def fit_params_fused(
     lr: float = 0.05,
     jitter: float = 1e-7,
     interpret=None,
+    free_mask=None,
 ):
     """Multi-restart fit driven by the fused Pallas MLL+grad kernel.
 
@@ -154,6 +169,9 @@ def fit_params_fused(
     if restart_inits is None:
         restart_inits = random_restarts(key, theta0, x, y, mask, 10)
     us = restart_inits.astype(x.dtype)
+    if free_mask is not None:
+        # pin frozen coordinates: the fused kernel evaluates exp(us) directly
+        us = jnp.where(free_mask[None, :], us, jnp.log(theta0)[None, :].astype(x.dtype))
     opt = _optax.adam(lr)
     opt_state = opt.init(us)
 
@@ -165,6 +183,8 @@ def fit_params_fused(
         # chain rule to log-space; ascend MLL = descend -MLL
         g_u = -g_theta * jnp.exp(us)
         g_u = jnp.where(jnp.isfinite(g_u), g_u, 0.0)
+        if free_mask is not None:
+            g_u = jnp.where(free_mask[None, :], g_u, 0.0)
         updates, opt_state = opt.update(g_u, opt_state, us)
         us = _optax.apply_updates(us, updates)
         return (us, opt_state), None
@@ -173,4 +193,7 @@ def fit_params_fused(
     mll, _ = pk.mll_grad_batched(jnp.exp(us), s, x, y, mask, jitter=jitter, interpret=interpret)
     mll = jnp.where(jnp.isfinite(mll), mll, -jnp.inf)
     best = jnp.argmax(mll)
-    return jnp.exp(us[best]), mll[best]
+    theta_best = jnp.exp(us[best])
+    if free_mask is not None:
+        theta_best = jnp.where(free_mask, theta_best, theta0.astype(x.dtype))
+    return theta_best, mll[best]

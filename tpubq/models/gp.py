@@ -39,6 +39,10 @@ class GPState(NamedTuple):
     L: (n, n) Cholesky factor of the padded, conditioned Gram.
     alpha: (n,) K^{-1} y (zero at pads).
     jitter: the diagonal jitter that was applied (absolute units).
+    ok: () bool — False iff the conditioning ladder was exhausted without a
+      finite factor (reference analogue: improve_covariance_conditioning
+      giving up). When False, ``alpha`` is NaN-poisoned so downstream
+      estimates fail loudly instead of returning garbage.
     """
 
     theta: jnp.ndarray
@@ -49,6 +53,7 @@ class GPState(NamedTuple):
     L: jnp.ndarray
     alpha: jnp.ndarray
     jitter: jnp.ndarray
+    ok: jnp.ndarray
 
 
 def _gram(kfn: Callable, theta, s, x, mask):
@@ -77,13 +82,17 @@ def gp_fit(
     s = jnp.asarray(s, dtype=x.dtype)
     K = _gram(kfn, theta, s, x, mask)
     if ladder:
-        L, jit_used, _ok = linalg.jitter_cholesky(K, mask, base_jitter)
+        L, jit_used, ok = linalg.jitter_cholesky(K, mask, base_jitter)
     else:
         L = linalg.cholesky_fixed(K, mask, base_jitter)
         jit_used = jnp.asarray(base_jitter, x.dtype)
+        ok = jnp.all(jnp.isfinite(L))
     ym = jnp.where(mask, y, 0.0)
     alpha = linalg.chol_solve(L, ym)
-    return GPState(theta, s, x, ym, mask, L, alpha, jit_used)
+    # Conditioning collapse must fail loudly: poison alpha so every estimate
+    # built on this factor is NaN (and record ok for wrappers to raise on).
+    alpha = jnp.where(ok, alpha, jnp.nan)
+    return GPState(theta, s, x, ym, mask, L, alpha, jit_used, ok)
 
 
 def gp_mean(kfn: Callable, gp: GPState, xo) -> jnp.ndarray:

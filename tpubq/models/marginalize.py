@@ -23,11 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from tpubq.models import gp as gpm
-from tpubq.models.bq import BQState, Z_mean, Z_var, set_params
+from tpubq.models.bq import BQState, Z_mean, Z_var, apply_hyper_sample
 from tpubq.ops.kernels import get_kernel
 from tpubq.utils.options import BQOptions
 
-__all__ = ["slice_sample", "sample_hypers", "marginalize"]
+__all__ = ["slice_sample", "sample_hypers", "marginalize", "param_coords"]
 
 _MAX_STEPOUT = 32
 _MAX_SHRINK = 64
@@ -82,16 +82,24 @@ def _slice_coord(key, logpdf: Callable, u, j, lp0, width):
     return u.at[j].set(x1), lp1
 
 
-def slice_sample(key, logpdf: Callable, u0, n: int, nburn: int = 0, width: float = 1.0):
+def slice_sample(
+    key, logpdf: Callable, u0, n: int, nburn: int = 0, width: float = 1.0, coords=None
+):
     """Draw ``n`` samples (after ``nburn``) from logpdf via coordinate-wise
-    slice sampling. Returns (n, p) samples. util.py::slice_sample parity."""
+    slice sampling. Returns (n, p) samples. util.py::slice_sample parity.
+
+    ``coords``: static tuple of coordinate indices to sweep (default: all) —
+    unlisted coordinates stay fixed at their u0 values, which is how the
+    reference's ``sample_hypers(params, ...)`` samples a parameter subset.
+    """
     p = u0.shape[0]
+    coords = tuple(range(p)) if coords is None else tuple(coords)
 
     def sweep(carry, key):
         u, lp = carry
-        keys = jax.random.split(key, p)
-        for j in range(p):  # p is tiny and static — unrolled
-            u, lp = _slice_coord(keys[j], logpdf, u, j, lp, jnp.asarray(width, u.dtype))
+        keys = jax.random.split(key, len(coords))
+        for i, j in enumerate(coords):  # tiny and static — unrolled
+            u, lp = _slice_coord(keys[i], logpdf, u, j, lp, jnp.asarray(width, u.dtype))
         return (u, lp), u
 
     keys = jax.random.split(key, n + nburn)
@@ -99,38 +107,128 @@ def slice_sample(key, logpdf: Callable, u0, n: int, nburn: int = 0, width: float
     return us[nburn:]
 
 
-@partial(jax.jit, static_argnames=("opts", "n", "nburn"))
-def sample_hypers(state: BQState, opts: BQOptions, key, n: int, nburn: int = 10):
-    """Sample θ_tl (log-GP kernel params) from MLL × weak prior
-    (bq.py::BQ.sample_hypers). Returns (n, p) positive θ samples."""
+def _names_for(opts: BQOptions):
+    """Per-GP map of reference hyper names → local theta indices."""
+    if opts.kernel == "periodic":
+        return {"h": (0,), "w": (1,), "p": (2,)}
+    return {"h": (0,), "w": tuple(range(1, opts.dim + 1))}
+
+
+def param_coords(params, opts: BQOptions):
+    """Resolve reference-style hyper names to (coords, sample_l).
+
+    Names ``h``/``w`` (and ``p`` for periodic) select the log-GP's params —
+    the reference's ``sample_hypers(params, ...)`` vocabulary. Suffixed names
+    ``h_l``/``w_l``/``p_l`` select the linear GP's params (capability
+    extension: joint marginalization over BOTH GPs' hypers, VERDICT r1 #4).
+    Returns coordinate indices into the stacked log-param vector
+    u = (log θ_tl, log θ_l) and whether any linear-GP param was named.
+    """
+    local = _names_for(opts)
+    p_tl = {"periodic": 3}.get(opts.kernel, opts.dim + 1)
+    coords, sample_l = [], False
+    for name in params:
+        base, is_l = (name[:-2], True) if name.endswith("_l") else (name, False)
+        if base not in local:
+            raise ValueError(
+                f"unknown hyperparameter {name!r} for kernel {opts.kernel!r}; "
+                f"valid: {sorted(local)} (+ '_l' suffix for the linear GP)"
+            )
+        off = p_tl if is_l else 0
+        sample_l = sample_l or is_l
+        coords.extend(off + j for j in local[base])
+    return tuple(sorted(set(coords))), sample_l
+
+
+@partial(jax.jit, static_argnames=("opts", "n", "nburn", "params"))
+def sample_hypers(
+    state: BQState,
+    opts: BQOptions,
+    key,
+    n: int,
+    nburn: int = 10,
+    params=("h", "w"),
+):
+    """Slice-sample kernel hyperparameters from MLL × weak prior
+    (bq.py::BQ.sample_hypers).
+
+    ``params`` names which hypers move (reference signature parity); the rest
+    stay fixed at their current values. Plain names (``h``, ``w``, ``p``)
+    target θ_tl and return (n, p_tl) samples — the reference's behavior.
+    If any ``*_l`` name is present, the target is the JOINT posterior over
+    (θ_tl, θ_l): the linear GP's MLL is evaluated on candidates re-anchored
+    under each θ_tl (the exact dependency ``_fit_gps`` applies), and samples
+    come back stacked as (n, p_tl + p_l) — feed them to ``marginalize`` /
+    ``choose_next``, which dispatch on the width.
+    """
+    if opts.kernel == "periodic" and params == ("h", "w"):
+        params = ("h", "w", "p")  # default = all of θ_tl for the family
     kfn, _ = get_kernel(opts.kernel)
     gp_tl = state.gp_log_l
+    gp_l = state.gp_l
+    coords, sample_l = param_coords(params, opts)
+    p_tl = gp_tl.theta.shape[0]
+
+    if not sample_l:
+
+        def logpdf(u):
+            theta = jnp.exp(u)
+            mll = gpm.log_mll(
+                kfn, theta, gp_tl.s, state.x_s, state.tl_s, state.obs_mask,
+                opts.base_jitter,
+            )
+            prior = -0.5 * jnp.sum((u / _PRIOR_STD) ** 2)
+            return jnp.where(jnp.isfinite(mll), mll + prior, -jnp.inf)
+
+        u0 = jnp.log(gp_tl.theta)
+        us = slice_sample(key, logpdf, u0, n, nburn, coords=coords)
+        return jnp.exp(us)
 
     def logpdf(u):
-        theta = jnp.exp(u)
-        mll = gpm.log_mll(
-            kfn, theta, gp_tl.s, state.x_s, state.tl_s, state.obs_mask, opts.base_jitter
+        theta_tl = jnp.exp(u[:p_tl])
+        theta_l = jnp.exp(u[p_tl:])
+        mll_tl = gpm.log_mll(
+            kfn, theta_tl, gp_tl.s, state.x_s, state.tl_s, state.obs_mask,
+            opts.base_jitter,
+        )
+        # Re-anchor the linearization under θ_tl — the same chain _fit_gps
+        # applies, so the sampled posterior matches what marginalize evaluates.
+        gp_tl_u = gpm.gp_fit(
+            kfn, theta_tl, gp_tl.s, state.x_s, state.tl_s, state.obs_mask,
+            base_jitter=opts.base_jitter, ladder=False,
+        )
+        m_tl_c = gpm.gp_mean(kfn, gp_tl_u, state.x_c)
+        l_c = jnp.where(state.c_mask, state.gamma * jnp.expm1(m_tl_c), 0.0)
+        l_sc = jnp.concatenate(
+            [jnp.where(state.obs_mask, state.l_s, 0.0), l_c], axis=0
+        )
+        mll_l = gpm.log_mll(
+            kfn, theta_l, gp_l.s, state.x_sc, l_sc, state.sc_mask, opts.base_jitter
         )
         prior = -0.5 * jnp.sum((u / _PRIOR_STD) ** 2)
-        return jnp.where(jnp.isfinite(mll), mll + prior, -jnp.inf)
+        tot = mll_tl + mll_l + prior
+        return jnp.where(jnp.isfinite(tot), tot, -jnp.inf)
 
-    u0 = jnp.log(gp_tl.theta)
-    us = slice_sample(key, logpdf, u0, n, nburn)
+    u0 = jnp.concatenate([jnp.log(gp_tl.theta), jnp.log(gp_l.theta)])
+    us = slice_sample(key, logpdf, u0, n, nburn, coords=coords)
     return jnp.exp(us)
 
 
 @partial(jax.jit, static_argnames=("opts", "funs"))
 def marginalize(state: BQState, opts: BQOptions, hyper_samples, funs=(Z_mean, Z_var)):
-    """Evaluate ``funs`` under each θ_tl sample in one batched pipeline
+    """Evaluate ``funs`` under each hyper sample in one batched pipeline
     (bq.py::BQ.marginalize). Returns a tuple of (n,) arrays.
 
-    The reference refactorizes and re-estimates in a sequential loop; here
-    the per-sample re-anchor → Gram → batched Cholesky → closed-form
-    estimate chain is a single ``vmap``ed program.
+    ``hyper_samples`` rows are θ_tl draws (width p_tl) or stacked
+    (θ_tl, θ_l) draws (width p_tl + p_l, from ``sample_hypers`` with ``*_l``
+    params) — ``apply_hyper_sample`` dispatches on the width. The reference
+    refactorizes and re-estimates in a sequential loop; here the per-sample
+    re-anchor → Gram → batched Cholesky → closed-form estimate chain is a
+    single ``vmap``ed program.
     """
 
-    def one(theta_tl):
-        st = set_params(state, opts, theta_tl=theta_tl, ladder=True)
+    def one(theta):
+        st = apply_hyper_sample(state, opts, theta, ladder=True)
         return tuple(f(st, opts) for f in funs)
 
     return jax.vmap(one)(hyper_samples)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpubq.models import acquire
-from tpubq.models.bq import BQState, Z_mean, Z_var, set_params
+from tpubq.models.bq import BQState, Z_mean, Z_var, apply_hyper_sample
 from tpubq.parallel.mesh import AXIS_GRID, AXIS_SAMPLE
 from tpubq.utils.options import BQOptions
 
@@ -119,8 +119,8 @@ def marginalize_sharded(
         out_specs=P((AXIS_SAMPLE, AXIS_GRID)),
     )
     def _eval(st, th_shard):
-        def one(theta_tl):
-            s = set_params(st, opts, theta_tl=theta_tl, ladder=True)
+        def one(theta):
+            s = apply_hyper_sample(st, opts, theta, ladder=True)
             return tuple(f(s, opts) for f in funs)
 
         return jax.vmap(one)(th_shard)

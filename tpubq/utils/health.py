@@ -46,6 +46,8 @@ def check_state(state: BQState, opts: BQOptions) -> Dict:
         "alpha_tl_finite": jnp.all(jnp.isfinite(tl.alpha)),
         "jitter_tl": tl.jitter,
         "jitter_l": li.jitter,
+        "factor_ok_tl": tl.ok,
+        "factor_ok_l": li.ok,
         "gp_log_l": _factor_stats(tl.L, tl.mask),
         "gp_l": _factor_stats(li.L, li.mask),
     }
@@ -61,6 +63,7 @@ def format_report(diag: Dict) -> str:
         f"finite: l_s={bool(d['l_s_finite'])} alpha_l={bool(d['alpha_l_finite'])} "
         f"alpha_tl={bool(d['alpha_tl_finite'])}",
         f"jitter: tl={float(d['jitter_tl']):.2e} l={float(d['jitter_l']):.2e}",
+        f"factor_ok: tl={bool(d['factor_ok_tl'])} l={bool(d['factor_ok_l'])}",
     ]
     for name in ("gp_log_l", "gp_l"):
         s = diag[name]

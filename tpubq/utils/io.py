@@ -68,9 +68,15 @@ def load_state(path, refit: bool = False):
         opts = BQOptions(**opt_kwargs)
 
         def gp(prefix):
-            return GPState(**{
-                sub: jnp.asarray(d[f"{prefix}.{sub}"]) for sub in GPState._fields
-            })
+            def field(sub):
+                key = f"{prefix}.{sub}"
+                if key in d.files:
+                    return jnp.asarray(d[key])
+                if sub == "ok":  # checkpoints predating the ok flag
+                    return jnp.asarray(True)
+                raise KeyError(key)
+
+            return GPState(**{sub: field(sub) for sub in GPState._fields})
 
         state = bqm.BQState(
             **{
