@@ -10,19 +10,26 @@ sizes the BQ workload actually reaches:
                     matrices behind gp_fit and _esm_affine_terms.
   * batched chol  — (B, nsc, nsc), B = 100 hyper samples (marginalize) and
                     B = 1024 (fleet).
-  * blocked chol  — single (N, N), N = 256..2048 (large-N capability).
+  * blocked chol  — single (N, N), N = 256..1024 (the kernel is VMEM-
+                    resident; 2048 f32 exceeds the ~16 MB scoped VMEM).
   * blocked solve — L^{-1} R with R = (nsc, G) (the chol_solve behind the
-                    XLA ESM path) and (N, N) at N = 1024.
+                    XLA ESM path) and (N, N) at N = 1024 (M likewise
+                    VMEM-bounded in the current kernel).
 
-Timing methodology (axon tunnel): per-call inputs VARY (the tunnel dedupes
-identical dispatches), calls are enqueued asynchronously and blocked once.
+Timing methodology (axon tunnel): a bare op dispatch pays ~5 ms of tunnel
+overhead, drowning sub-ms compute. Each op is therefore repeated ITERS times
+inside ONE jitted ``lax.scan`` whose carry feeds a tiny data-dependent
+perturbation back into the inputs (defeats dedup/DCE), and the per-iteration
+time is (total - overhead) / ITERS with overhead measured by a 1-iteration
+run of the same program shape.
 
-Usage: python benchmarks/pallas_vs_xla.py [--csv out.csv]
+Usage: PYTHONPATH=/root/repo python benchmarks/pallas_vs_xla.py [--csv out]
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 
 import jax
@@ -34,93 +41,128 @@ import tpubq  # noqa: F401  (pins x64 + matmul precision)
 from tpubq.ops import pallas_kernels as pk
 from tpubq.ops.kernels import gaussian_K
 
-
-def _timeit(fn, args_list, n_warm=2):
-    """Median wall time per call: async enqueue over varied inputs, one block."""
-    for a in args_list[:n_warm]:
-        jax.block_until_ready(fn(*a))
-    t0 = time.perf_counter()
-    outs = [fn(*a) for a in args_list]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / len(args_list)
-    return dt
+ITERS = 256
 
 
-def _gram_cases(rng, dtype):
-    for n1, n2 in ((48, 48), (48, 10_000), (48, 100_000), (512, 512)):
-        theta = jnp.asarray([0.8, 0.6], dtype)
-        xs1 = [jnp.asarray(rng.uniform(-2, 2, (n1, 1)), dtype) for _ in range(8)]
-        xs2 = [jnp.asarray(rng.uniform(-3, 3, (n2, 1)), dtype) for _ in range(8)]
-        args = [(theta, a, b) for a, b in zip(xs1, xs2)]
-        xla = jax.jit(gaussian_K)
-        pal = lambda t, a, b: pk.gaussian_gram(t, a, b, interpret=False)
-        yield f"gram_{n1}x{n2}", xla, pal, args
+def _scan_timer(op, advance, args, iters=ITERS):
+    """Wall time per op application inside one jitted scan (min of 3;
+    1-iteration program of identical shape subtracted as dispatch overhead)."""
+
+    def make(n):
+        @jax.jit
+        def run(args):
+            def body(a, _):
+                out = op(*a)
+                return advance(a, out), jnp.sum(out)
+
+            a, s = jax.lax.scan(body, args, None, length=n)
+            return s
+
+        return run
+
+    big, one = make(iters), make(1)
+    jax.block_until_ready(big(args))  # compile
+    jax.block_until_ready(one(args))
+
+    def best(f, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_one = best(one)
+    t_big = best(big)
+    return max(t_big - t_one, 1e-9) / (iters - 1)
 
 
-def _batched_chol_cases(rng, dtype):
-    for B, N in ((100, 48), (1024, 48)):
-        Ks = []
-        for _ in range(8):
-            A = rng.standard_normal((B, N, N))
-            K = np.einsum("bij,bkj->bik", A, A) + N * np.eye(N)
-            Ks.append((jnp.asarray(K, dtype),))
-        xla = jax.jit(jax.vmap(jnp.linalg.cholesky))
-        pal = lambda K: pk.cholesky_batched(K, interpret=False)
-        yield f"batched_chol_{B}x{N}", xla, pal, Ks
-
-
-def _blocked_chol_cases(rng, dtype):
-    # N=2048 exceeds the ~16 MB scoped VMEM (matrix + scratch are VMEM-
-    # resident); 1024 is the kernel's practical ceiling at f32.
-    for N in (256, 512, 1024):
-        Ks = []
-        for _ in range(6):
-            A = rng.standard_normal((N, N))
-            K = A @ A.T + N * np.eye(N)
-            Ks.append((jnp.asarray(K, dtype),))
-        xla = jax.jit(jnp.linalg.cholesky)
-        pal = lambda K: pk.cholesky_blocked(K, interpret=False)
-        yield f"blocked_chol_{N}", xla, pal, Ks
-
-
-def _blocked_solve_cases(rng, dtype):
-    # M is VMEM-bounded too (R resident): 1e5 RHS would need a column-tiled
-    # grid — measured at the sizes the current kernel admits.
-    for N, M in ((48, 2_000), (48, 10_000), (1024, 1024)):
-        args = []
-        for _ in range(6):
-            A = rng.standard_normal((N, N))
-            L = np.linalg.cholesky(A @ A.T + N * np.eye(N))
-            R = rng.standard_normal((N, M))
-            args.append((jnp.asarray(L, dtype), jnp.asarray(R, dtype)))
-        xla = jax.jit(lambda L, R: jsp.linalg.solve_triangular(L, R, lower=True))
-        pal = lambda L, R: pk.tri_solve_blocked(L, R, interpret=False)
-        yield f"blocked_solve_{N}x{M}", xla, pal, args
+def _bench(name, xla_op, pal_op, advance, args, rows):
+    t_x = _scan_timer(xla_op, advance, args)
+    t_p = _scan_timer(pal_op, advance, args)
+    ox = np.asarray(jax.jit(xla_op)(*args))
+    op_ = np.asarray(jax.jit(pal_op)(*args))
+    err = float(np.max(np.abs(ox - op_)) / (np.max(np.abs(ox)) + 1e-30))
+    winner = "pallas" if t_p < t_x else "xla"
+    rows.append((name, t_x * 1e3, t_p * 1e3, t_x / t_p, err, winner))
+    print(f"{name:26s} xla {t_x*1e3:9.4f} ms   pallas {t_p*1e3:9.4f} ms   "
+          f"speedup {t_x/t_p:6.2f}x   relerr {err:.2e}   -> {winner}")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", default=None)
-    args = ap.parse_args()
+    args_ns = ap.parse_args()
     assert pk.on_tpu(), "dispatch measurements must run on the real chip"
     rng = np.random.default_rng(0)
     dtype = jnp.float32
-
     rows = []
-    for gen in (_gram_cases, _batched_chol_cases, _blocked_chol_cases, _blocked_solve_cases):
-        for name, xla, pal, case_args in gen(rng, dtype):
-            t_x = _timeit(xla, case_args)
-            t_p = _timeit(pal, case_args)
-            # parity check on the first case
-            ox = np.asarray(xla(*case_args[0]))
-            op = np.asarray(pal(*case_args[0]))
-            err = float(np.max(np.abs(ox - op)) / (np.max(np.abs(ox)) + 1e-30))
-            winner = "pallas" if t_p < t_x else "xla"
-            rows.append((name, t_x * 1e3, t_p * 1e3, t_x / t_p, err, winner))
-            print(f"{name:26s} xla {t_x*1e3:9.3f} ms   pallas {t_p*1e3:9.3f} ms   "
-                  f"speedup {t_x/t_p:6.2f}x   relerr {err:.2e}   -> {winner}")
-    if args.csv:
-        with open(args.csv, "w") as f:
+
+    # -- Gram ---------------------------------------------------------------
+    for n1, n2 in ((48, 48), (48, 10_000), (48, 100_000), (512, 512)):
+        theta = jnp.asarray([0.8, 0.6], dtype)
+        x1 = jnp.asarray(rng.uniform(-2, 2, (n1, 1)), dtype)
+        x2 = jnp.asarray(rng.uniform(-3, 3, (n2, 1)), dtype)
+
+        def advance(a, out):
+            t, a1, a2 = a
+            return (t, a1 + 1e-7 * out[:, :1], a2 + 1e-7 * out.T[:, :1])
+
+        _bench(
+            f"gram_{n1}x{n2}",
+            gaussian_K,
+            functools.partial(pk.gaussian_gram, interpret=False),
+            advance, (theta, x1, x2), rows,
+        )
+
+    # -- batched Cholesky ----------------------------------------------------
+    for B, N in ((100, 48), (1024, 48)):
+        A = rng.standard_normal((B, N, N))
+        K = jnp.asarray(np.einsum("bij,bkj->bik", A, A) + N * np.eye(N), dtype)
+
+        def advance(a, out):
+            return (a[0] + 1e-6 * jnp.einsum("bij,bkj->bik", out, out),)
+
+        _bench(
+            f"batched_chol_{B}x{N}",
+            jax.vmap(jnp.linalg.cholesky),
+            functools.partial(pk.cholesky_batched, interpret=False),
+            advance, (K,), rows,
+        )
+
+    # -- blocked Cholesky (single large matrix) -------------------------------
+    for N in (256, 512, 1024):
+        A = rng.standard_normal((N, N))
+        K = jnp.asarray(A @ A.T + N * np.eye(N), dtype)
+
+        def advance(a, out):
+            return (a[0] + 1e-6 * (out @ out.T),)
+
+        _bench(
+            f"blocked_chol_{N}",
+            jnp.linalg.cholesky,
+            functools.partial(pk.cholesky_blocked, interpret=False),
+            advance, (K,), rows,
+        )
+
+    # -- blocked triangular solve ---------------------------------------------
+    for N, M in ((48, 2_000), (48, 10_000), (1024, 1024)):
+        A = rng.standard_normal((N, N))
+        L = jnp.asarray(np.linalg.cholesky(A @ A.T + N * np.eye(N)), dtype)
+        R = jnp.asarray(rng.standard_normal((N, M)), dtype)
+
+        def advance(a, out):
+            return (a[0], a[1] + 1e-6 * out)
+
+        _bench(
+            f"blocked_solve_{N}x{M}",
+            lambda L, R: jsp.linalg.solve_triangular(L, R, lower=True),
+            functools.partial(pk.tri_solve_blocked, interpret=False),
+            advance, (L, R), rows,
+        )
+
+    if args_ns.csv:
+        with open(args_ns.csv, "w") as f:
             f.write("case,xla_ms,pallas_ms,speedup,relerr,winner\n")
             for r in rows:
                 f.write(",".join(str(v) for v in r) + "\n")

@@ -23,6 +23,18 @@ likelihood + gradient"):
 All kernels run in interpret mode off-TPU (CPU tests exercise the same
 code); wrappers pad shapes to tile boundaries with identity rows (the
 pad_gram convention of tpubq.ops.linalg).
+
+Dispatch status (measured on the v5e, round 2 — benchmarks/pallas_vs_xla.py,
+full table in PARITY.md): the PRODUCTION paths route through ``esm_fused``
+and ``mll_grad_batched`` only. The standalone ``gaussian_gram``,
+``cholesky_batched``, ``cholesky_blocked`` and ``tri_solve_blocked`` kernels
+LOSE to XLA at every size this workload reaches (Gram: XLA fuses it into
+consumers and never materializes it; Cholesky/tri-solve: XLA's TPU custom
+calls beat the vectorized column algorithm 2–5×; the blocked kernels are
+VMEM-resident, N ≲ 1024 f32). They are kept as tested reference
+implementations for future fused pipelines — fusion across the
+factorization boundary (as ``esm_fused`` and ``mll_grad_batched`` do) is
+where Pallas wins on this workload.
 """
 
 from __future__ import annotations
