@@ -202,7 +202,95 @@ def _reference_cpp_baseline(n_time=20_000):
     return n_time / (time.perf_counter() - t0)
 
 
+def _bench_state(max_obs=16):
+    import jax
+
+    import tpubq  # noqa: F401
+    from tpubq.models import bq as bqm
+    from tpubq.utils.options import BQOptions
+
+    platform = jax.devices()[0].platform
+    dtype = "float32" if platform != "cpu" else "float64"
+    opts = BQOptions(
+        n_candidate=12, candidate_thresh=0.2, max_obs=max_obs, dtype=dtype,
+        use_pallas=(platform == "tpu"),
+    )
+    x, l = _problem()
+    state = bqm.init_state(
+        x, l, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4), x_mean=[0.0], x_var=[[1.0]]
+    )
+    return state, opts, platform
+
+
+def _marginalize_throughput(n_samples=100):
+    """Config 5: E[Z]/V[Z] over ``n_samples`` sampled hypers — batched
+    pipeline samples/s, vs a host-driven per-sample loop on the same device
+    (the reference's sequential refactorize-per-sample shape)."""
+    import jax
+
+    _enable_compile_cache()
+    from tpubq.models import bq as bqm, marginalize as margm
+
+    state, opts, platform = _bench_state()
+    key = jax.random.PRNGKey(0)
+    thetas = margm.sample_hypers(state, opts, key, n_samples, nburn=10)
+    jax.block_until_ready(thetas)
+    variants = [thetas * (1.0 + 1e-4 * i) for i in range(6)]
+    jax.block_until_ready(margm.marginalize(state, opts, variants[-1]))  # compile
+    times = []
+    for v in variants[:5]:
+        t0 = time.perf_counter()
+        jax.block_until_ready(margm.marginalize(state, opts, v))
+        times.append(time.perf_counter() - t0)
+    batched = float(np.median(times))
+
+    one = jax.jit(
+        lambda st, th: (lambda s: (bqm.Z_mean(s, opts), bqm.Z_var(s, opts)))(
+            bqm.set_params(st, opts, theta_tl=th)
+        )
+    )
+    jax.block_until_ready(one(state, thetas[0]))
+    t0 = time.perf_counter()
+    outs = [one(state, thetas[i]) for i in range(n_samples)]
+    jax.block_until_ready(outs)
+    seq = time.perf_counter() - t0
+    return n_samples / batched, seq / batched, platform
+
+
+def _active_loop_throughput(n_steps=8):
+    """Closed active-sampling loop (lax.scan) steps/s with a 1e4-point grid,
+    vs the reference-style CPU loop's per-step cost (score 1e4 points)."""
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+    from tpubq.models import acquire
+
+    state, opts, platform = _bench_state(max_obs=32)
+    grid = jnp.asarray(np.linspace(-4, 4, N_GRID), state.x_s.dtype)[:, None]
+
+    mu, sig2 = 0.2, 0.25
+
+    def loglik(x):
+        return jnp.exp(-0.5 * (x[0] - mu) ** 2 / sig2) / jnp.sqrt(2 * jnp.pi * sig2)
+
+    jax.block_until_ready(
+        acquire.run_active_loop(state, opts, loglik, grid, n_steps)
+    )  # compile
+    times = []
+    for i in range(3):
+        st = state._replace(l_s=state.l_s * (1.0 + 1e-6 * i))  # defeat dedup
+        t0 = time.perf_counter()
+        jax.block_until_ready(acquire.run_active_loop(st, opts, loglik, grid, n_steps))
+        times.append(time.perf_counter() - t0)
+    steps_per_s = n_steps / float(np.median(times))
+    return steps_per_s, platform
+
+
 def main():
+    import sys
+
+    all_metrics = "--all" in sys.argv
     value, platform = _tpubq_throughput()
     baseline = _reference_cpp_baseline()
     if baseline is None:
@@ -214,6 +302,32 @@ def main():
                 "value": round(value, 1),
                 "unit": "points/s",
                 "vs_baseline": round(value / baseline, 1),
+            }
+        )
+    )
+    if not all_metrics:
+        return
+    m_rate, m_speedup, _ = _marginalize_throughput()
+    print(
+        json.dumps(
+            {
+                "metric": f"marginalize_100samples_{platform}",
+                "value": round(m_rate, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(m_speedup, 1),
+            }
+        )
+    )
+    steps_per_s, _ = _active_loop_throughput()
+    # reference per-step cost ≈ scoring the 1e4 grid at the CPU loop's rate
+    base_steps_per_s = baseline / N_GRID
+    print(
+        json.dumps(
+            {
+                "metric": f"active_loop_{N_GRID}grid_{platform}",
+                "value": round(steps_per_s, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_s / base_steps_per_s, 1),
             }
         )
     )

@@ -143,3 +143,35 @@ def test_tri_solve_blocked_matches_scipy():
     X = np.asarray(pk.tri_solve_blocked(jnp.asarray(L), jnp.asarray(R)))
     want = np.linalg.solve(L.astype(np.float64), R)
     np.testing.assert_allclose(X, want, rtol=2e-4, atol=2e-4)
+
+
+def test_esm_fused_matches_xla_path_2d_f32():
+    """VERDICT r1 #8: the fused scorer generalizes to d <= 3 — d = 2 parity
+    against the batched-XLA ESM, including the sup-norm degenerate guard."""
+    import numpy as np
+    from scipy import stats
+
+    import tpubq
+    from tpubq.models import acquire
+
+    rng = np.random.RandomState(0)
+    g = np.linspace(-1.8, 1.8, 4)
+    X = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+    X = np.concatenate([X, rng.uniform(-2, 2, (8, 2))], axis=0)
+    L = stats.multivariate_normal.pdf(X, [0.2, -0.1], np.diag([0.3, 0.5]))
+    bq = tpubq.BQ(X, L, dim=2, n_candidate=6, candidate_thresh=0.25,
+                  x_mean=np.zeros(2), x_var=np.eye(2), max_obs=32,
+                  dtype="float32")
+    bq.init(params_tl=(0.5, 0.9, 0.9), params_l=(0.2, 0.5, 0.5))
+    gg = np.stack(
+        np.meshgrid(np.linspace(-2.5, 2.5, 23), np.linspace(-2.5, 2.5, 17)), -1
+    ).reshape(-1, 2).astype(np.float32)
+    ref = np.asarray(acquire.expected_squared_mean(bq.state, bq.options, gg))
+    fused = np.asarray(
+        acquire.expected_squared_mean_fused(bq.state, bq.options, gg)
+    )
+    np.testing.assert_allclose(fused, ref, rtol=3e-4, atol=1e-9)
+    # degenerate (duplicate) points short-circuit to Z_mean^2
+    dup = np.asarray(bq.x_s[:3], np.float32)
+    fd = np.asarray(acquire.expected_squared_mean_fused(bq.state, bq.options, dup))
+    np.testing.assert_allclose(fd, bq.Z_mean() ** 2, rtol=1e-4)

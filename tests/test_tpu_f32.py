@@ -1,0 +1,209 @@
+"""Float32 user-surface flows — the on-device (TPU) coverage set.
+
+VERDICT r1 #6: the TPU-selected subset must exercise the full user surface,
+not just the Pallas kernels. Every test here is pure float32 (the TPU hot
+dtype; the tunneled compiler cannot build f64 programs), named ``*_f32`` so
+tests/conftest.py selects it on the real chip, and runs identically on CPU
+(where the rest of the suite provides the f64 parity oracle).
+"""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import tpubq
+from tests import util as tu
+
+F32_KW = dict(dtype="float32")
+
+
+def _make_bq_f32(**overrides):
+    kw = dict(F32_KW)
+    kw.update(overrides)
+    return tu.make_bq(**kw)
+
+
+def test_end_to_end_estimate_f32():
+    bq = _make_bq_f32()
+    assert abs(bq.Z_mean() - tu.true_Z()) / tu.true_Z() < 0.05
+    assert bq.Z_var() >= 0.0
+
+
+def test_save_load_roundtrip_f32(tmp_path):
+    bq = _make_bq_f32()
+    path = tmp_path / "bq_f32.npz"
+    bq.save(path)
+    b2 = tpubq.BQ.load(path)
+    assert b2.options.dtype == "float32"
+    np.testing.assert_allclose(b2.Z_mean(), bq.Z_mean(), rtol=1e-6)
+    np.testing.assert_allclose(b2.x_s, bq.x_s, rtol=1e-7)
+
+
+def test_marginalize_f32():
+    bq = _make_bq_f32()
+    zm, zv = bq.marginalize(n=8, seed=2)
+    assert zm.shape == (8,) and zv.shape == (8,)
+    assert np.all(np.isfinite(zm)) and np.all(zv >= 0)
+    assert abs(np.mean(zm) - tu.true_Z()) / tu.true_Z() < 0.2
+
+
+def test_marginalize_joint_f32():
+    bq = _make_bq_f32()
+    th = bq.sample_hypers(params=("h", "w", "h_l", "w_l"), n=6, seed=3)
+    assert th.shape == (6, 4)
+    zm, zv = bq.marginalize(n=6, params=("h", "w", "h_l", "w_l"), seed=3)
+    assert np.all(np.isfinite(zm)) and np.all(np.isfinite(zv))
+
+
+def test_choose_next_marginalized_f32():
+    bq = _make_bq_f32()
+    grid = np.linspace(-4, 4, 201).astype(np.float32)
+    xn = bq.choose_next(grid, n=5, seed=3)
+    assert np.any(np.isclose(grid, xn, atol=1e-6))
+
+
+def test_active_loop_f32():
+    bq = _make_bq_f32()
+    grid = np.linspace(-4, 4, 101).astype(np.float32)
+    v = [bq.Z_var()]
+    for step in range(3):
+        xn = bq.choose_next(grid, seed=step)
+        bq.add_observation(xn, float(tu.f_l(xn)))
+        v.append(bq.Z_var())
+    assert bq.ns == 13
+    assert v[-1] < v[0]  # expected posterior variance shrinks
+
+
+def test_scan_active_loop_f32():
+    """The fully on-device lax.scan active loop (acquire.run_active_loop)."""
+    import jax.numpy as jnp
+
+    from tpubq.models import acquire
+
+    bq = _make_bq_f32()
+    grid = jnp.asarray(np.linspace(-4, 4, 101), jnp.float32)
+
+    def loglik(x):
+        return jnp.exp(-0.5 * (x[0] - tu.MU_L) ** 2 / tu.SIG_L**2) / jnp.sqrt(
+            2 * jnp.pi * tu.SIG_L**2
+        )
+
+    st, (xs, zms, zvs) = acquire.run_active_loop(
+        bq.state, bq.options, loglik, grid[:, None], 3
+    )
+    assert int(st.ns) == bq.ns + 3
+    assert np.all(np.isfinite(np.asarray(zms)))
+    assert float(zvs[-1]) <= float(zvs[0]) + 1e-10
+
+
+def test_fit_hypers_f32():
+    bq = _make_bq_f32()
+    mll_path = bq.fit_hypers(seed=0)
+    assert np.all(np.asarray(bq.gp_log_l.theta) > 0)
+    assert abs(bq.Z_mean() - tu.true_Z()) / tu.true_Z() < 0.05
+
+
+def test_fit_hypers_subset_f32():
+    bq = _make_bq_f32()
+    w0 = float(np.asarray(bq.gp_log_l.theta)[1])
+    bq.fit_hypers(params=("h",), seed=0)
+    assert float(np.asarray(bq.gp_log_l.theta)[1]) == w0
+
+
+def test_esm_vs_quadrature_twin_f32():
+    from tpubq.models import acquire
+
+    bq = _make_bq_f32()
+    grid = np.linspace(-3, 3, 64).astype(np.float32)
+    exact = np.asarray(acquire.expected_squared_mean(bq.state, bq.options, grid))
+    approx = np.asarray(
+        acquire.approx_expected_squared_mean(bq.state, bq.options, grid)
+    )
+    np.testing.assert_allclose(exact, approx, rtol=5e-3, atol=1e-8)
+
+
+def test_expected_Z_var_identity_f32():
+    bq = _make_bq_f32()
+    x = np.float32(1.3)
+    lhs = bq.expected_Z_var(x)
+    rhs = bq.Z_mean() ** 2 + bq.Z_var() - bq.expected_squared_mean(x)
+    # values are ~5e-6 built from ~0.1-scale terms: f32 rounding leaves ~3e-8
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4, atol=1e-7)
+
+
+def test_sharded_on_local_mesh_f32():
+    """Sharded choose_next/marginalize on whatever mesh the platform offers
+    ((1,1) on the single TPU chip; (2,4) on the 8-virtual-device CPU) matches
+    the single-device paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpubq.models import acquire, bq as bqm
+    from tpubq.models.marginalize import marginalize
+    from tpubq.parallel.mesh import make_mesh
+    from tpubq.parallel.sharded import choose_next_sharded, marginalize_sharded
+
+    bq = _make_bq_f32()
+    st, opts = bq.state, bq.options
+    mesh = make_mesh(len(jax.devices()))
+    grid = jnp.asarray(np.linspace(-4, 4, 64)[:, None], jnp.float32)
+    hyp = jnp.asarray(bq.sample_hypers(5, seed=11), jnp.float32)
+
+    x_s, sc_s = choose_next_sharded(st, opts, grid, mesh, hyp)
+    x_u, sc_u = acquire.choose_next(st, opts, grid, hyp)
+    np.testing.assert_allclose(np.asarray(sc_s), np.asarray(sc_u), rtol=2e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_u), rtol=1e-6)
+
+    zm_s, zv_s = marginalize_sharded(st, opts, hyp, mesh)
+    zm_u, zv_u = marginalize(st, opts, hyp)
+    np.testing.assert_allclose(np.asarray(zm_s), np.asarray(zm_u), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(zv_s), np.asarray(zv_u), rtol=2e-3, atol=1e-9)
+
+
+def test_health_check_f32():
+    from tpubq.utils.health import check_state, format_report
+
+    bq = _make_bq_f32()
+    diag = check_state(bq.state, bq.options)
+    assert bool(np.asarray(diag["factor_ok_tl"])) and bool(np.asarray(diag["factor_ok_l"]))
+    assert bool(np.asarray(diag["alpha_l_finite"]))
+    report = format_report(diag)
+    assert "factor_ok" in report
+
+
+def test_plotting_smoke_f32():
+    bq = _make_bq_f32()
+    bq.plot(f_l=tu.f_l)
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_add_observation_capacity_growth_f32():
+    bq = _make_bq_f32(max_obs=11)  # one free slot
+    grid = np.linspace(-4, 4, 51).astype(np.float32)
+    for step in range(3):  # forces a capacity doubling mid-loop
+        xn = bq.choose_next(grid, seed=step)
+        bq.add_observation(xn, float(tu.f_l(xn)))
+    assert bq.ns == 13
+    assert bq.options.max_obs >= 13
+
+
+def test_fleet_batched_f32():
+    """Batched (fleet) API in f32: B problems per dispatch."""
+    from tpubq.models import batched as bt
+    from tpubq.utils.options import BQOptions
+
+    xs = np.stack([tu.make_x(), tu.make_x() + 0.1, tu.make_x() - 0.2])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    opts = BQOptions(
+        n_candidate=12, candidate_thresh=0.2, max_obs=16, dtype="float32"
+    )
+    fleet = bt.init_batch(xs, ls, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    zm = np.asarray(bt.Z_mean_batch(fleet, opts))
+    zv = np.asarray(bt.Z_var_batch(fleet, opts))
+    assert zm.shape == (3,)
+    assert np.all(np.isfinite(zm)) and np.all(zv >= 0)

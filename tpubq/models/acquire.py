@@ -137,7 +137,7 @@ def expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
     """ESM scores for a batch of hypothetical locations x_a: (na, d) → (na,)."""
     if (
         opts.use_pallas
-        and opts.dim == 1
+        and opts.dim <= 3
         and opts.kernel == "gaussian"
         and opts.dtype == "float32"
     ):
@@ -175,22 +175,29 @@ def approx_expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.nd
 def expected_squared_mean_fused(state: BQState, opts: BQOptions, x_a, interpret=None):
     """ESM via the fused Pallas scorer (tpubq.ops.pallas_kernels.esm_fused).
 
-    Semantically identical to ``expected_squared_mean`` for 1-D Gaussian-
-    kernel states (tested); the whole per-candidate pipeline runs in VMEM —
-    HBM traffic is the grid in and the scores out. Requires dim == 1 and
-    kernel == "gaussian".
+    Semantically identical to ``expected_squared_mean`` for Gaussian-kernel
+    states with dim ≤ 3 (tested at d = 1 and d = 2); the whole per-candidate
+    pipeline runs in VMEM — HBM traffic is the grid in and the scores out.
     """
     import math as _math
 
     from tpubq.ops import pallas_kernels as pk
 
-    assert opts.dim == 1 and opts.kernel == "gaussian"
+    assert opts.dim <= 3 and opts.kernel == "gaussian"
+    d = opts.dim
     dtype = state.x_s.dtype
-    x_a = jnp.asarray(x_a, dtype).reshape(-1)
+    x_a = as_points(jnp.asarray(x_a, dtype), d)  # (na, d)
     gp_l, gp_tl = state.gp_l, state.gp_log_l
 
     def _pad_up(v, n):
         return jnp.zeros((n, 1), dtype).at[: v.shape[0], 0].set(v)
+
+    def _pad_rows(X, n):
+        return jnp.zeros((n, X.shape[1]), dtype).at[: X.shape[0]].set(X)
+
+    def _pad_mat(M, n):
+        out = jnp.zeros((n, n), dtype)
+        return out.at[: M.shape[0], : M.shape[1]].set(M)
 
     NP = pk._round_up(opts.max_nsc, 8)
     NP2 = pk._round_up(opts.max_obs, 8)
@@ -202,40 +209,42 @@ def expected_squared_mean_fused(state: BQState, opts: BQOptions, x_a, interpret=
     eye2 = jnp.eye(gp_tl.L.shape[0], dtype=dtype)
     Kinv_tl = linalg.chol_solve(gp_tl.L, eye2)
 
-    def _pad_mat(M, n):
-        out = jnp.zeros((n, n), dtype)
-        return out.at[: M.shape[0], : M.shape[1]].set(M)
-
-    h_l, w_l = gp_l.theta[0], gp_l.theta[1]
-    h_tl, w_tl = gp_tl.theta[0], gp_tl.theta[1]
-    sig2 = state.x_var[0, 0]
-    var_z = w_l * w_l + sig2
-    thresh = jnp.asarray(opts.candidate_thresh, dtype)
-    params = jnp.stack(
+    h_l, w_l = gp_l.theta[0], gp_l.theta[1:]
+    h_tl, w_tl = gp_tl.theta[0], gp_tl.theta[1:]
+    Sig = state.x_var
+    A = jnp.diag(w_l * w_l) + Sig  # W_l + Σ
+    # ζ(x_a) = h_l² ∏w_l · det(A)^{-1/2} · exp(-½ δᵀ A⁻¹ δ)
+    zc = h_l * h_l * jnp.prod(w_l) / jnp.sqrt(jnp.linalg.det(A))
+    Ainv = jnp.linalg.inv(A)
+    params = jnp.concatenate(
         [
-            h_l * h_l,
-            1.0 / (2.0 * w_l * w_l),
-            h_l * h_l + gp_l.s * gp_l.s + gp_l.jitter,
-            h_l * h_l * w_l / jnp.sqrt(var_z),
-            1.0 / (2.0 * var_z),
-            state.x_mean[0],
-            state.gamma,
-            h_l * h_l * jnp.exp(-thresh * thresh / (2.0 * w_l * w_l)),
-            jnp.dot(z, gp_l.alpha),
-            h_tl * h_tl,
-            1.0 / (2.0 * w_tl * w_tl),
-            jnp.asarray(0.5 * _math.log(jnp.finfo(dtype).max), dtype),
+            jnp.stack(
+                [
+                    h_l * h_l,
+                    h_l * h_l + gp_l.s * gp_l.s + gp_l.jitter,  # κ
+                    zc,
+                    state.gamma,
+                    jnp.asarray(opts.candidate_thresh, dtype),
+                    jnp.dot(z, gp_l.alpha),  # zᵀα
+                    h_tl * h_tl,
+                    jnp.asarray(0.5 * _math.log(jnp.finfo(dtype).max), dtype),
+                ]
+            ),
+            0.5 / (w_l * w_l),
+            0.5 / (w_tl * w_tl),
+            state.x_mean,
+            (0.5 * Ainv).reshape(-1),
         ]
     )
     return pk.esm_fused(
         params,
-        x_a,
-        _pad_up(state.x_sc[:, 0], NP),
+        x_a.T,  # (d, na)
+        _pad_rows(state.x_sc, NP),
         _pad_up(m_sc, NP),
         _pad_mat(Kinv, NP),
         _pad_up(uz, NP),
         _pad_up(gp_l.alpha, NP),
-        _pad_up(state.x_s[:, 0], NP2),
+        _pad_rows(state.x_s, NP2),
         _pad_up(state.obs_mask.astype(dtype), NP2),
         _pad_mat(Kinv_tl, NP2),
         _pad_up(gp_tl.alpha, NP2),

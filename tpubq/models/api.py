@@ -413,6 +413,8 @@ class BQ:
         with np.load(str(filename), allow_pickle=False) as d:
             opts = {}
             for k in _OPTION_KEYS:
+                if f"opt_{k}" not in d.files:
+                    continue  # option added after this file was saved → default
                 v = d[f"opt_{k}"][()]
                 if isinstance(v, (np.str_, np.bytes_)):
                     v = str(v)

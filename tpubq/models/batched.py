@@ -38,8 +38,8 @@ def init_batch(
     xs,
     ls,
     opts: BQOptions,
-    params_tl=(1.0, 1.0),
-    params_l=(1.0, 1.0),
+    params_tl=None,
+    params_l=None,
     s_tl=0.0,
     s_l=0.0,
     gamma=1.0,
@@ -63,6 +63,16 @@ def init_batch(
         raise ValueError("l must be finite and positive")
     if n > opts.max_obs:
         raise ValueError(f"{n} observations exceed max_obs={opts.max_obs}")
+
+    from tpubq.models.bq import default_params, validate_theta
+
+    if params_tl is None:
+        params_tl = default_params(opts)
+    if params_l is None:
+        params_l = default_params(opts)
+    # validate the param width (last axis, whether shared (p,) or per-problem (B, p))
+    for name, p in (("params_tl", params_tl), ("params_l", params_l)):
+        validate_theta(np.zeros(np.asarray(p, dtype).shape[-1]), opts, name)
 
     if x_means is None:
         x_means = np.zeros((B, d), dtype)

@@ -306,78 +306,116 @@ def mll_grad_batched(thetas, s, x, y, mask, jitter=1e-10, interpret=None):
 # ---------------------------------------------------------------------------
 
 
-def _esm_kernel_impl(p_ref, xa_ref, xsc_ref, msc_ref, Kinv_ref, uz_ref, al_ref,
-                     xs_ref, ms_ref, Kinvtl_ref, altl_ref, o_ref):
-    dtype = xsc_ref.dtype
-    P = jax.lax.Precision.HIGHEST
-    h_l2 = p_ref[0, 0]
-    iwl2 = p_ref[0, 1]
-    kappa = p_ref[0, 2]
-    zc = p_ref[0, 3]
-    izv = p_ref[0, 4]
-    mu = p_ref[0, 5]
-    gamma = p_ref[0, 6]
-    kthr = p_ref[0, 7]
-    zTa = p_ref[0, 8]
-    h_tl2 = p_ref[0, 9]
-    iwtl2 = p_ref[0, 10]
-    cap = p_ref[0, 11]
+# Packed-scalar layout for the fused ESM kernel (SMEM row of 32).
+# [0] h_l², [1] κ, [2] ζ scale, [3] γ, [4] thresh, [5] zᵀα, [6] h_tl²,
+# [7] exp cap, [8:8+d] 0.5/w_l² per dim, [8+d:8+2d] 0.5/w_tl² per dim,
+# [8+2d:8+3d] μ, [8+3d:8+3d+d²] 0.5·(W_l+Σ)⁻¹ row-major (ζ quad form).
+_ESM_P = {"h_l2": 0, "kappa": 1, "zc": 2, "gamma": 3, "thresh": 4,
+          "zTa": 5, "h_tl2": 6, "cap": 7, "base": 8}
 
-    xa = xa_ref[:]                     # (1, T)
-    xsc = xsc_ref[:]                   # (NP, 1)
-    msc = msc_ref[:]                   # (NP, 1)
-    d = xsc - xa                       # (NP, T)
-    k = h_l2 * jnp.exp(-(d * d) * iwl2) * msc
-    V = jnp.dot(Kinv_ref[:], k, preferred_element_type=dtype, precision=P)
-    gam = kappa - jnp.sum(k * V, axis=0, keepdims=True)          # (1, T)
-    zv = jnp.dot(uz_ref[:].T, k, preferred_element_type=dtype, precision=P)
-    ka = jnp.dot(al_ref[:].T, k, preferred_element_type=dtype, precision=P)
-    da = xa - mu
-    zeta = zc * jnp.exp(-(da * da) * izv)
-    kmax = jnp.max(k, axis=0, keepdims=True)
-    eps = jnp.asarray(np.finfo(np.float32).eps, dtype)
-    degen = jnp.logical_or(kmax > kthr, gam <= eps * kappa)
-    B = (zeta - zv) / jnp.where(degen, 1.0, gam)
-    A = zTa - B * ka
 
-    xs = xs_ref[:]                     # (NP2, 1)
-    ms = ms_ref[:]
-    d2 = xs - xa
-    ktl = h_tl2 * jnp.exp(-(d2 * d2) * iwtl2) * ms
-    V2 = jnp.dot(Kinvtl_ref[:], ktl, preferred_element_type=dtype, precision=P)
-    c = jnp.maximum(h_tl2 - jnp.sum(ktl * V2, axis=0, keepdims=True), 0.0)
-    m = jnp.dot(altl_ref[:].T, ktl, preferred_element_type=dtype, precision=P)
-    e1 = jnp.exp(jnp.minimum(m + 0.5 * c, cap))
-    e2 = jnp.exp(jnp.minimum(2.0 * m + 2.0 * c, cap))
-    E1 = gamma * (e1 - 1.0)
-    E2 = gamma * gamma * (e2 - 2.0 * e1 + 1.0)
-    esm = A * A + 2.0 * A * B * E1 + B * B * E2
-    o_ref[:] = jnp.where(degen, zTa * zTa, esm)
+def _esm_kernel_factory(d):
+    """Fused ESM scorer for ``d``-dimensional inputs (d static, loops
+    unrolled). Grid tile: (d, T) query points; everything per-candidate runs
+    in VMEM; HBM traffic is the grid in, the scores out."""
+
+    def kernel(p_ref, xa_ref, xsc_ref, msc_ref, Kinv_ref, uz_ref, al_ref,
+               xs_ref, ms_ref, Kinvtl_ref, altl_ref, o_ref):
+        dtype = xsc_ref.dtype
+        P = jax.lax.Precision.HIGHEST
+        b = _ESM_P["base"]
+        h_l2 = p_ref[0, _ESM_P["h_l2"]]
+        kappa = p_ref[0, _ESM_P["kappa"]]
+        zc = p_ref[0, _ESM_P["zc"]]
+        gamma = p_ref[0, _ESM_P["gamma"]]
+        thresh = p_ref[0, _ESM_P["thresh"]]
+        zTa = p_ref[0, _ESM_P["zTa"]]
+        h_tl2 = p_ref[0, _ESM_P["h_tl2"]]
+        cap = p_ref[0, _ESM_P["cap"]]
+
+        xa = xa_ref[:]                     # (d, T)
+        xsc = xsc_ref[:]                   # (NP, d)
+        msc = msc_ref[:]                   # (NP, 1)
+        T = xa.shape[1]
+
+        # linear-GP cross-kernel + sup-norm distances, per-dim unrolled
+        r2_l = jnp.zeros((xsc.shape[0], T), dtype)
+        dmax = jnp.zeros((xsc.shape[0], T), dtype)
+        for j in range(d):
+            dj = xsc[:, j][:, None] - xa[j, :][None, :]   # (NP, T)
+            r2_l = r2_l + (dj * dj) * p_ref[0, b + j]
+            dmax = jnp.maximum(dmax, jnp.abs(dj))
+        k = h_l2 * jnp.exp(-r2_l) * msc
+        V = jnp.dot(Kinv_ref[:], k, preferred_element_type=dtype, precision=P)
+        gam = kappa - jnp.sum(k * V, axis=0, keepdims=True)          # (1, T)
+        zv = jnp.dot(uz_ref[:].T, k, preferred_element_type=dtype, precision=P)
+        ka = jnp.dot(al_ref[:].T, k, preferred_element_type=dtype, precision=P)
+
+        # ζ(x_a) = zc · exp(-½ (x_a-μ)ᵀ (W_l+Σ)⁻¹ (x_a-μ)) — quad form unrolled
+        q = jnp.zeros((1, T), dtype)
+        for i in range(d):
+            dai = (xa[i, :] - p_ref[0, b + 2 * d + i])[None, :]
+            for j in range(d):
+                daj = (xa[j, :] - p_ref[0, b + 2 * d + j])[None, :]
+                q = q + p_ref[0, b + 3 * d + i * d + j] * dai * daj
+        zeta = zc * jnp.exp(-q)
+
+        # degenerate guard: sup-norm proximity to a live point, or non-PD Schur
+        near = jnp.max(
+            jnp.where(msc > 0, (dmax < thresh).astype(dtype), 0.0),
+            axis=0, keepdims=True,
+        )
+        eps = jnp.asarray(np.finfo(np.float32).eps, dtype)
+        degen = jnp.logical_or(near > 0, gam <= eps * kappa)
+        B = (zeta - zv) / jnp.where(degen, 1.0, gam)
+        A = zTa - B * ka
+
+        # log-GP posterior moments at x_a
+        xs = xs_ref[:]                     # (NP2, d)
+        ms = ms_ref[:]
+        r2_tl = jnp.zeros((xs.shape[0], T), dtype)
+        for j in range(d):
+            dj = xs[:, j][:, None] - xa[j, :][None, :]
+            r2_tl = r2_tl + (dj * dj) * p_ref[0, b + d + j]
+        ktl = h_tl2 * jnp.exp(-r2_tl) * ms
+        V2 = jnp.dot(Kinvtl_ref[:], ktl, preferred_element_type=dtype, precision=P)
+        c = jnp.maximum(h_tl2 - jnp.sum(ktl * V2, axis=0, keepdims=True), 0.0)
+        m = jnp.dot(altl_ref[:].T, ktl, preferred_element_type=dtype, precision=P)
+        e1 = jnp.exp(jnp.minimum(m + 0.5 * c, cap))
+        e2 = jnp.exp(jnp.minimum(2.0 * m + 2.0 * c, cap))
+        E1 = gamma * (e1 - 1.0)
+        E2 = gamma * gamma * (e2 - 2.0 * e1 + 1.0)
+        esm = A * A + 2.0 * A * B * E1 + B * B * E2
+        o_ref[:] = jnp.where(degen, zTa * zTa, esm)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def esm_fused(params, grid, xsc, msc, Kinv, uz, alpha, xs, ms, Kinv_tl,
               alpha_tl, interpret=None, tile=512):
-    """Fused ESM scores over a 1-D grid → (n_grid,).
+    """Fused ESM scores over a grid of d-dimensional points → (n_grid,).
 
-    ``params``: the 12 packed scalars (see _esm_kernel_impl). Array shapes:
-    grid (G,), xsc/msc/uz/alpha (NP, 1), xs/ms/alpha_tl (NP2, 1),
-    Kinv (NP, NP), Kinv_tl (NP2, NP2); NP/NP2 multiples of 8.
+    ``params``: packed scalars per the _ESM_P layout (d inferred from
+    ``xsc.shape[1]``, d ≤ 3). Array shapes: grid (d, G), xsc (NP, d),
+    msc/uz/alpha (NP, 1), xs (NP2, d), ms/alpha_tl (NP2, 1), Kinv (NP, NP),
+    Kinv_tl (NP2, NP2); NP/NP2 multiples of 8.
     """
     dtype = grid.dtype
-    G = grid.shape[0]
+    d = xsc.shape[1]
+    G = grid.shape[1]
     Gp = _round_up(G, tile)
-    g = jnp.full((1, Gp), grid[-1], dtype).at[0, :G].set(grid)
-    p = jnp.zeros((1, 16), dtype).at[0, : params.shape[0]].set(params)
+    g = jnp.tile(grid[:, -1:], (1, Gp)).at[:, :G].set(grid)
+    p = jnp.zeros((1, 32), dtype).at[0, : params.shape[0]].set(params)
 
     with _x64_off():
         out = pl.pallas_call(
-            _esm_kernel_impl,
+            _esm_kernel_factory(d),
             out_shape=jax.ShapeDtypeStruct((1, Gp), dtype),
             grid=(Gp // tile,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             ]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
             out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),

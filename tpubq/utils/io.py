@@ -59,6 +59,8 @@ def load_state(path, refit: bool = False):
     with np.load(_npz_path(path), allow_pickle=False) as d:
         opt_kwargs = {}
         for k in _OPT_FIELDS:
+            if f"__opt_{k}" not in d.files:
+                continue  # option added after this file was saved → default
             v = d[f"__opt_{k}"][()]
             if isinstance(v, (np.str_, np.bytes_)):
                 v = str(v)

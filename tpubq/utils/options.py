@@ -27,6 +27,7 @@ FIELD_NAMES = (
     "base_jitter",
     "use_pallas",
     "n_gh",
+    "n_qmc",
 )
 
 
@@ -58,6 +59,9 @@ class BQOptions:
         (falls back to pure-XLA paths off-TPU or when False).
       n_gh: number of Gauss–Hermite nodes for the approx (quadrature) twin of
         the expected-squared-mean moments.
+      n_qmc: number of quasi-Monte-Carlo (Halton) nodes for the d > 3
+        quadrature paths, where the tensor-product GH rule explodes and the
+        f32 closed-form V[Z] cancels catastrophically.
     """
 
     n_candidate: int = 10
@@ -69,6 +73,7 @@ class BQOptions:
     base_jitter: float = 1e-12
     use_pallas: bool = False
     n_gh: int = 128
+    n_qmc: int = 4096
 
     def __post_init__(self):
         if self.kernel not in ("gaussian", "periodic", "matern52"):
