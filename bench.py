@@ -121,6 +121,18 @@ def _reference_cpu_proxy(n_time=300):
 
 
 def _tpubq_throughput():
+    """On-chip cost of one full ESM sweep (per-sweep precompute + scoring of
+    the N_GRID candidates), by scan-length differencing.
+
+    Why not per-dispatch timing: every host→device call through the remote
+    tunnel pays a ~40–60 µs enqueue floor (measured: a jitted scalar add
+    costs the same), which caps any per-dispatch metric at ~2–5e8 points/s
+    regardless of the chip. The C++ baseline is an in-process call with no
+    such floor, so the fair comparison is chip time vs CPU time. The scan
+    carry perturbs the GP state every iteration so XLA cannot hoist the
+    per-sweep precompute (Schur/Kinv setup) out of the loop — each iteration
+    is a complete sweep, exactly what one ``choose_next`` call runs.
+    """
     import jax
 
     _enable_compile_cache()
@@ -142,26 +154,42 @@ def _tpubq_throughput():
     state = bqm.init_state(
         x, l, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4), x_mean=[0.0], x_var=[[1.0]]
     )
-    esm = jax.jit(acquire.expected_squared_mean, static_argnums=1)
-    base = np.linspace(-4, 4, N_GRID)
-    # distinct buffers per enqueued call: repeated identical dispatches can be
-    # deduped by the remote-tunnel runtime, which would overstate throughput
-    grids = [
-        jax.device_put(jnp.asarray(base + 1e-7 * i, opts.np_dtype)[:, None])
-        for i in range(K_ENQUEUE)
-    ]
-    state = jax.device_put(state)
-    out = esm(state, opts, grids[0])
-    out.block_until_ready()  # compile
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for g in grids:
-            out = esm(state, opts, g)
-        out.block_until_ready()
-        times.append((time.perf_counter() - t0) / K_ENQUEUE)
-    dt = float(np.median(times))
-    assert bool(np.all(np.isfinite(np.asarray(out)))), "non-finite ESM scores"
+    grid = jnp.asarray(np.linspace(-4, 4, N_GRID), opts.np_dtype)[:, None]
+
+    def body(eps, _):
+        # tiny data-dependent perturbation of the cached factors: results
+        # unchanged to ~1e-12, but the sweep precompute depends on eps and
+        # re-runs every iteration (and iterations serialize through eps)
+        gp_l = state.gp_l._replace(
+            L=state.gp_l.L * (1.0 + eps),
+            alpha=state.gp_l.alpha * (1.0 + eps),
+            Kinv=state.gp_l.Kinv * (1.0 + eps),
+        )
+        gp_tl = state.gp_log_l._replace(
+            alpha=state.gp_log_l.alpha * (1.0 + eps),
+            Kinv=state.gp_log_l.Kinv * (1.0 + eps),
+        )
+        st = state._replace(gp_l=gp_l, gp_log_l=gp_tl)
+        sc = acquire.expected_squared_mean(st, opts, grid + eps)
+        return eps + 1e-30 * jnp.mean(sc), jnp.sum(sc)
+
+    def run(n, reps):
+        f = jax.jit(lambda e: jax.lax.scan(body, e, None, length=n))
+        eps0 = jnp.asarray(0.0, opts.np_dtype)
+        out = f(eps0)
+        jax.block_until_ready(out)
+        assert bool(np.all(np.isfinite(np.asarray(out[1])))), "non-finite ESM"
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(eps0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # the per-sweep cost is tens of µs: the iteration delta must dwarf the
+    # tunnel's per-run jitter (±ms), hence thousands of iterations
+    n_short, n_long = 16, 2064
+    dt = (run(n_long, 7) - run(n_short, 7)) / (n_long - n_short)
     return N_GRID / dt, platform
 
 

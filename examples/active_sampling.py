@@ -25,9 +25,17 @@ def f_l(x):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
-    ap.add_argument("--dtype", default="float64", choices=["float64", "float32"])
+    ap.add_argument(
+        "--dtype", default=None, choices=["float64", "float32"],
+        help="default: float32 on TPU (the device hot dtype; some TPU "
+        "toolchains cannot compile f64), float64 elsewhere",
+    )
     ap.add_argument("--n-hyper", type=int, default=10)
     args = ap.parse_args()
+    if args.dtype is None:
+        import jax
+
+        args.dtype = "float32" if jax.devices()[0].platform == "tpu" else "float64"
 
     z_true = stats.norm.pdf(MU_L, 0.0, np.sqrt(1.0 + SIG_L**2))
     x = np.linspace(-2.2, 2.2, 6)

@@ -203,11 +203,9 @@ def expected_squared_mean_fused(state: BQState, opts: BQOptions, x_a, interpret=
     NP2 = pk._round_up(opts.max_obs, 8)
     m_sc = state.sc_mask.astype(dtype)
     z = int_K_measure(state, opts, gp_l.theta, state.x_sc) * m_sc
-    eye = jnp.eye(gp_l.L.shape[0], dtype=dtype)
-    Kinv = linalg.chol_solve(gp_l.L, eye)
+    Kinv = gp_l.Kinv  # cached at fit time (GPState.Kinv)
     uz = Kinv @ z
-    eye2 = jnp.eye(gp_tl.L.shape[0], dtype=dtype)
-    Kinv_tl = linalg.chol_solve(gp_tl.L, eye2)
+    Kinv_tl = gp_tl.Kinv
 
     h_l, w_l = gp_l.theta[0], gp_l.theta[1:]
     h_tl, w_tl = gp_tl.theta[0], gp_tl.theta[1:]

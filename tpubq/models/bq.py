@@ -262,6 +262,7 @@ def init_state(
         obs_mask,
         jnp.eye(opts.max_obs, dtype=dtype),
         jnp.zeros((opts.max_obs,), dtype),
+        jnp.eye(opts.max_obs, dtype=dtype),
         jnp.asarray(0.0, dtype),
         jnp.asarray(True),
     )
@@ -273,6 +274,7 @@ def init_state(
         jnp.zeros((nsc,), bool),
         jnp.eye(nsc, dtype=dtype),
         jnp.zeros((nsc,), dtype),
+        jnp.eye(nsc, dtype=dtype),
         jnp.asarray(0.0, dtype),
         jnp.asarray(True),
     )

@@ -38,6 +38,9 @@ class GPState(NamedTuple):
     x: (n, d) padded inputs;  y: (n,) padded targets;  mask: (n,) live flags.
     L: (n, n) Cholesky factor of the padded, conditioned Gram.
     alpha: (n,) K^{-1} y (zero at pads).
+    Kinv: (n, n) explicit K^{-1} (identity at pads) — cached at fit time,
+      like the reference's gp/gp.py::GP.inv_Kxx cached property; consumed by
+      the fused ESM scorer so repeated sweeps skip the triangular solves.
     jitter: the diagonal jitter that was applied (absolute units).
     ok: () bool — False iff the conditioning ladder was exhausted without a
       finite factor (reference analogue: improve_covariance_conditioning
@@ -52,6 +55,7 @@ class GPState(NamedTuple):
     mask: jnp.ndarray
     L: jnp.ndarray
     alpha: jnp.ndarray
+    Kinv: jnp.ndarray
     jitter: jnp.ndarray
     ok: jnp.ndarray
 
@@ -88,11 +92,14 @@ def gp_fit(
         jit_used = jnp.asarray(base_jitter, x.dtype)
         ok = jnp.all(jnp.isfinite(L))
     ym = jnp.where(mask, y, 0.0)
-    alpha = linalg.chol_solve(L, ym)
+    eye = jnp.eye(x.shape[0], dtype=x.dtype)
+    sol = linalg.chol_solve(L, jnp.concatenate([ym[:, None], eye], axis=1))
+    alpha = sol[:, 0]
+    Kinv = sol[:, 1:]
     # Conditioning collapse must fail loudly: poison alpha so every estimate
     # built on this factor is NaN (and record ok for wrappers to raise on).
     alpha = jnp.where(ok, alpha, jnp.nan)
-    return GPState(theta, s, x, ym, mask, L, alpha, jit_used, ok)
+    return GPState(theta, s, x, ym, mask, L, alpha, Kinv, jit_used, ok)
 
 
 def gp_mean(kfn: Callable, gp: GPState, xo) -> jnp.ndarray:
@@ -209,10 +216,7 @@ class GP:
 
     @property
     def inv_Kxx(self):
-        from tpubq.ops import linalg as _linalg
-
-        n = self._state.x.shape[0]
-        return _linalg.chol_solve(self._state.L, jnp.eye(n, dtype=self._state.x.dtype))
+        return self._state.Kinv  # cached at fit time (reference: cached property)
 
     def mean(self, xo):
         xo = jnp.asarray(xo, self._state.x.dtype)

@@ -54,6 +54,7 @@ def save_state(path, state: bqm.BQState, opts: BQOptions, force: bool = False):
 def load_state(path, refit: bool = False):
     """Read (state, opts) back. ``refit=True`` recomputes factorizations
     (use after changing jax precision config or hardware)."""
+    import jax
     import jax.numpy as jnp
 
     with np.load(_npz_path(path), allow_pickle=False) as d:
@@ -70,15 +71,28 @@ def load_state(path, refit: bool = False):
         opts = BQOptions(**opt_kwargs)
 
         def gp(prefix):
-            def field(sub):
-                key = f"{prefix}.{sub}"
-                if key in d.files:
-                    return jnp.asarray(d[key])
-                if sub == "ok":  # checkpoints predating the ok flag
-                    return jnp.asarray(True)
-                raise KeyError(key)
+            fields = {
+                sub: jnp.asarray(d[f"{prefix}.{sub}"])
+                for sub in GPState._fields
+                if f"{prefix}.{sub}" in d.files
+            }
+            # fields added after a checkpoint was saved get derived/defaults
+            if "ok" not in fields:
+                fields["ok"] = jnp.asarray(True)
+            if "Kinv" not in fields:
+                from tpubq.ops import linalg as _linalg
 
-            return GPState(**{sub: field(sub) for sub in GPState._fields})
+                L = fields["L"]
+                # batched (fleet) states carry a leading problem axis
+                eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+                solve = _linalg.chol_solve
+                for _ in range(L.ndim - 2):
+                    solve = jax.vmap(solve, in_axes=(0, None))
+                fields["Kinv"] = solve(L, eye)
+            missing = set(GPState._fields) - set(fields)
+            if missing:
+                raise KeyError(f"checkpoint missing GPState fields: {sorted(missing)}")
+            return GPState(**fields)
 
         state = bqm.BQState(
             **{
