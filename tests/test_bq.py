@@ -553,3 +553,103 @@ def test_4d_matern52_Z_var_no_capability_cliff():
                         x_mean=np.zeros(d), x_var=np.eye(d))
     v = float(bqm.Z_var(st, opts))
     assert np.isfinite(v) and v >= 0.0
+
+
+@pytest.mark.parametrize("kernel,params", [
+    ("matern32", (0.5, 0.8)),
+    ("rq", (0.5, 0.8, 1.5)),
+])
+def test_extra_kernel_families_bq_end_to_end(kernel, params):
+    """matern32 / rational-quadratic families run the full BQ pipeline via
+    the kernel-agnostic measure quadratures (capability extension; the
+    reference's GP engine was kernel-pluggable in principle)."""
+    import tpubq
+    from tests import util as tu
+
+    x = tu.make_x(12)
+    bq = tpubq.BQ(x, tu.f_l(x), kernel=kernel, n_candidate=12,
+                  candidate_thresh=0.2, x_mean=0.0, x_var=1.0)
+    bq.init(params_tl=params, params_l=params)
+    bq.fit_hypers(ntry=4, seed=0)
+    zm, zv = bq.Z_mean(), bq.Z_var()
+    assert abs(zm - tu.true_Z()) / tu.true_Z() < 0.1
+    assert zv >= 0.0
+    grid = np.linspace(-4, 4, 101)
+    xn = bq.choose_next(grid, n=3, seed=1)
+    bq.add_observation(xn, float(tu.f_l(xn)))
+    assert bq.ns == 13
+
+
+def test_rq_param_subset_includes_alpha():
+    import tpubq
+    from tests import util as tu
+
+    x = tu.make_x(10)
+    bq = tpubq.BQ(x, tu.f_l(x), kernel="rq", n_candidate=10,
+                  candidate_thresh=0.2, x_mean=0.0, x_var=1.0)
+    bq.init()
+    th = bq.sample_hypers(params=("alpha",), n=4, seed=0)
+    assert th.shape == (4, 3)
+    assert np.allclose(th[:, 0], th[0, 0]) and np.allclose(th[:, 1], th[0, 1])
+    assert np.std(th[:, 2]) > 0
+
+
+def test_refine_next_improves_on_coarse_grid():
+    """Gradient refinement polishes the grid argmax off-grid: the refined
+    ESM is >= the coarse-grid winner's and tracks the dense-grid optimum."""
+    import jax.numpy as jnp
+
+    bq = tu.make_bq()
+    st, opts = bq.state, bq.options
+    coarse = np.linspace(-4, 4, 9)  # deliberately coarse
+    x0, scores = acquire.choose_next(st, opts, coarse)
+    v0 = float(np.max(np.asarray(scores)))
+    x_ref, v_ref = acquire.refine_next(st, opts, x0)
+    assert float(v_ref) >= v0 - 1e-12
+    # dense-grid oracle for the continuous argmax
+    dense = np.linspace(-4, 4, 4001)
+    dv = np.asarray(acquire.expected_squared_mean(st, opts, dense))
+    x_star, v_star = dense[np.argmax(dv)], float(np.max(dv))
+    assert float(v_ref) >= v0  # no worse than the start
+    # refined value closes most of the coarse->dense gap
+    if v_star - v0 > 1e-14:
+        assert (float(v_ref) - v0) / (v_star - v0) > 0.7
+    # and through the public API
+    xr = bq.choose_next(coarse, refine=True)
+    assert np.isfinite(xr)
+
+
+def test_refine_next_marginalized_runs():
+    import jax.numpy as jnp
+
+    bq = tu.make_bq()
+    hyp = jnp.asarray(bq.sample_hypers(3, seed=5))
+    x0, _ = acquire.choose_next(bq.state, bq.options, np.linspace(-4, 4, 9), hyp)
+    x_ref, v_ref = acquire.refine_next(bq.state, bq.options, x0, hyp)
+    assert np.all(np.isfinite(np.asarray(x_ref))) and np.isfinite(float(v_ref))
+
+
+def test_2d_candidates_fill_the_box():
+    """d > 1 candidates are a space-filling (Halton) design over the live
+    bounding box, not a 1-D line through the center (round-2 improvement)."""
+    import jax.numpy as jnp
+
+    from tpubq.models.bq import choose_candidates
+    from tpubq.utils.options import BQOptions
+
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.uniform(-2, 2, (20, 2)))
+    mask = jnp.ones(20, bool)
+    opts = BQOptions(dim=2, n_candidate=16, candidate_thresh=0.05, max_obs=24)
+    x_c, c_mask = choose_candidates(X, mask, opts)
+    x_c = np.asarray(x_c)
+    lo, hi = np.asarray(X).min(0), np.asarray(X).max(0)
+    assert np.all(x_c >= lo - 1e-9) and np.all(x_c <= hi + 1e-9)
+    # genuinely 2-D spread: both coordinates vary
+    assert np.std(x_c[:, 0]) > 0.2 and np.std(x_c[:, 1]) > 0.2
+    # spacing mask still enforced
+    live = x_c[np.asarray(c_mask)]
+    dmin = np.min(
+        np.max(np.abs(live[:, None, :] - np.asarray(X)[None, :, :]), axis=-1), axis=1
+    )
+    assert np.all(dmin >= opts.candidate_thresh)

@@ -150,3 +150,28 @@ def test_fleet_state_io_roundtrip(tmp_path):
         np.asarray(batched.Z_mean_batch(states, opts)),
         rtol=1e-10,
     )
+
+
+def test_matern32_and_rq_kernel_facades():
+    from tpubq.ops.kernels import Matern32Kernel, RationalQuadraticKernel
+
+    x = np.linspace(-1, 1, 7)
+    for k in (Matern32Kernel(0.9, 0.6), RationalQuadraticKernel(0.9, 0.6, 2.0)):
+        K = np.asarray(k.K(x, x))
+        np.testing.assert_allclose(np.diag(K), 0.81, rtol=1e-6)
+        np.testing.assert_allclose(K, K.T, rtol=1e-12)
+        assert np.min(np.linalg.eigvalsh(K + 1e-10 * np.eye(7))) > 0
+        J = np.asarray(k.jacobian(x, x))
+        assert J.shape[0] == len(k.params) and np.all(np.isfinite(J))
+
+
+def test_rq_limits_to_gaussian():
+    """alpha -> inf recovers the gaussian kernel."""
+    import jax.numpy as jnp
+
+    from tpubq.ops.kernels import gaussian_K, rq_K
+
+    x = jnp.linspace(-1, 1, 9)[:, None]
+    Kg = np.asarray(gaussian_K(jnp.asarray([0.7, 0.5]), x, x))
+    Kr = np.asarray(rq_K(jnp.asarray([0.7, 0.5, 1e6]), x, x))
+    np.testing.assert_allclose(Kr, Kg, rtol=1e-4)

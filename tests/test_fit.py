@@ -79,3 +79,46 @@ def test_random_restarts_periodic_seeding():
     assert th[:, 1].max() <= 2.0 + 1e-6 and th[:, 1].min() >= 0.1 - 1e-6
     spacing = 50.0 / 31.0
     assert th[:, 2].min() >= spacing - 1e-6 and th[:, 2].max() <= 100.0 + 1e-6
+
+
+def test_fit_noise_param():
+    """fit_hypers(params=('h','w','s')) fits the observation noise jointly
+    (the reference's GP params vector is (theta..., s)). On noisy targets the
+    fitted s moves off zero and the MLL-optimal fit keeps E[Z] sane."""
+    import tpubq
+    from tests import util as tu
+
+    rng = np.random.RandomState(3)
+    x = tu.make_x(16)
+    l = tu.f_l(x) * np.exp(rng.randn(16) * 0.15)  # multiplicative noise
+    bq = tpubq.BQ(x, l, n_candidate=12, candidate_thresh=0.2,
+                  x_mean=0.0, x_var=1.0)
+    bq.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    assert float(bq.gp_log_l.s) == 0.0
+    bq.fit_hypers(params=("h", "w", "s"), ntry=6, seed=0)
+    s_fit = float(bq.gp_log_l.s)
+    assert s_fit > 1e-4  # noise detected
+    assert bq.s_tl == s_fit  # wrapper attribute tracks the fit
+    assert abs(bq.Z_mean() - tu.true_Z()) / tu.true_Z() < 0.25
+    # persistence round-trips the fitted noise
+    import tempfile, os
+    f = os.path.join(tempfile.mkdtemp(), "noisy.npz")
+    bq.save(f)
+    b2 = tpubq.BQ.load(f)
+    assert abs(float(b2.gp_log_l.s) - s_fit) < 1e-12
+
+
+def test_fit_noise_only_subset():
+    """params=('s',) fits noise while every kernel param stays bit-identical."""
+    import tpubq
+    from tests import util as tu
+
+    rng = np.random.RandomState(4)
+    x = tu.make_x(14)
+    l = tu.f_l(x) * np.exp(rng.randn(14) * 0.1)
+    bq = tpubq.BQ(x, l, n_candidate=12, candidate_thresh=0.2,
+                  x_mean=0.0, x_var=1.0)
+    bq.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    bq.fit_hypers(params=("s",), ntry=4, seed=1)
+    np.testing.assert_array_equal(np.asarray(bq.gp_log_l.theta), [0.7, 0.8])
+    assert float(bq.gp_log_l.s) > 0.0

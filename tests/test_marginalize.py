@@ -109,3 +109,24 @@ def test_joint_vs_tl_only_spread():
     assert np.isfinite(zm_joint).all() and np.isfinite(zm_tl).all()
     # the joint chain must actually explore theta_l: spreads differ
     assert not np.allclose(np.std(zm_joint), np.std(zm_tl), rtol=1e-3)
+
+
+def test_multi_chain_sampling_matches_single_chain_moments():
+    """n_chains > 1 runs vmapped chains in one dispatch; the pooled draws
+    target the same posterior as a single chain (TPU-native extension)."""
+    bq = tu.make_bq()
+    th1 = bq.sample_hypers(n=120, nburn=20, seed=4)
+    thc = bq.sample_hypers(n=120, nburn=20, seed=4, n_chains=4)
+    assert thc.shape == (120, 2)
+    assert np.all(thc > 0)
+    # same posterior: means/stds agree within sampling tolerance
+    np.testing.assert_allclose(thc.mean(0), th1.mean(0), rtol=0.25)
+    assert 0.3 < np.std(np.log(thc[:, 0])) / max(np.std(np.log(th1[:, 0])), 1e-9) < 3.0
+
+
+def test_multi_chain_respects_param_subsets():
+    bq = tu.make_bq()
+    th = bq.sample_hypers(params=("h",), n=9, seed=1, n_chains=3)
+    assert th.shape == (9, 2)
+    assert np.allclose(th[:, 1], th[0, 1])  # w frozen in every chain
+    assert np.std(th[:, 0]) > 0

@@ -64,3 +64,45 @@ def test_marginalize_sharded_matches_single(mesh8):
     zm8, zv8 = marginalize_sharded(bq.state, bq.options, hyp, mesh8)
     np.testing.assert_allclose(np.asarray(zm8), np.asarray(zm1), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(zv8), np.asarray(zv1), rtol=1e-10)
+
+
+def test_fleet_Z_moments_sharded_matches_batched():
+    """Fleet moments sharded over the full mesh equal the single-device
+    batched path (B=5 not divisible by 8 — exercises the problem-axis pad)."""
+    from tests import util as tu
+    from tpubq.models import batched as bt
+    from tpubq.parallel.mesh import make_mesh
+    from tpubq.parallel.sharded import fleet_Z_moments_sharded
+    from tpubq.utils.options import BQOptions
+
+    B = 5
+    xs = np.stack([tu.make_x() + 0.05 * i for i in range(B)])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    opts = BQOptions(n_candidate=12, candidate_thresh=0.2, max_obs=16)
+    fleet = bt.init_batch(xs, ls, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    mesh = make_mesh(8)
+    zm_s, zv_s = fleet_Z_moments_sharded(fleet, opts, mesh)
+    zm_b = np.asarray(bt.Z_mean_batch(fleet, opts))
+    zv_b = np.asarray(bt.Z_var_batch(fleet, opts))
+    np.testing.assert_allclose(np.asarray(zm_s), zm_b, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(zv_s), zv_b, rtol=1e-8)
+
+
+def test_fleet_choose_next_sharded_matches_batched():
+    from tests import util as tu
+    from tpubq.models import batched as bt
+    from tpubq.parallel.mesh import make_mesh
+    from tpubq.parallel.sharded import fleet_choose_next_sharded
+    from tpubq.utils.options import BQOptions
+
+    B = 3
+    xs = np.stack([tu.make_x() + 0.07 * i for i in range(B)])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    opts = BQOptions(n_candidate=12, candidate_thresh=0.2, max_obs=16)
+    fleet = bt.init_batch(xs, ls, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    mesh = make_mesh(8)
+    grid = np.linspace(-4, 4, 101)  # 101 not divisible by 4 -> grid pad
+    x_s, sc_s = fleet_choose_next_sharded(fleet, opts, grid, mesh)
+    x_b, sc_b = bt.choose_next_batch(fleet, opts, grid)
+    np.testing.assert_allclose(np.asarray(sc_s), np.asarray(sc_b), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_b), rtol=1e-12)

@@ -207,3 +207,21 @@ def test_fleet_batched_f32():
     zv = np.asarray(bt.Z_var_batch(fleet, opts))
     assert zm.shape == (3,)
     assert np.all(np.isfinite(zm)) and np.all(zv >= 0)
+
+
+def test_refine_next_f32():
+    from tpubq.models import acquire
+
+    bq = _make_bq_f32()
+    x0, scores = acquire.choose_next(bq.state, bq.options, np.linspace(-4, 4, 9).astype(np.float32))
+    x_ref, v_ref = acquire.refine_next(bq.state, bq.options, x0)
+    assert float(v_ref) >= float(np.max(np.asarray(scores))) - 1e-7
+    assert np.all(np.isfinite(np.asarray(x_ref)))
+
+
+def test_extra_kernels_f32():
+    for kernel, params in (("matern32", (0.5, 0.8)), ("rq", (0.5, 0.8, 1.5))):
+        bq = _make_bq_f32(kernel=kernel, init=False)
+        bq.init(params_tl=params, params_l=params)
+        assert abs(bq.Z_mean() - tu.true_Z()) / tu.true_Z() < 0.15
+        assert bq.Z_var() >= 0.0

@@ -54,6 +54,7 @@ __all__ = [
     "approx_expected_squared_mean",
     "expected_Z_var",
     "choose_next",
+    "refine_next",
     "add_observation",
     "run_active_loop",
 ]
@@ -145,6 +146,12 @@ def expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
 
         if on_tpu():
             return expected_squared_mean_fused(state, opts, x_a)
+    return expected_squared_mean_xla(state, opts, x_a)
+
+
+def expected_squared_mean_xla(state: BQState, opts: BQOptions, x_a) -> jnp.ndarray:
+    """The pure-XLA ESM path — also the differentiable one (the fused Pallas
+    kernel has no VJP), used by the gradient refinement in refine_next."""
     x_a = as_points(jnp.asarray(x_a, state.x_s.dtype), opts.dim)
     A, B, degenerate, zTalpha, m_a, c_a = _esm_affine_terms(state, opts, x_a)
     E1, E2 = _lognormal_moments(m_a, c_a, state.gamma)
@@ -296,6 +303,62 @@ def choose_next(
         scores = total / hyper_samples.shape[0]
     best = jnp.argmax(scores)
     return x_a[best], scores
+
+
+@partial(jax.jit, static_argnames=("opts", "n_steps"))
+def refine_next(
+    state: BQState,
+    opts: BQOptions,
+    x0,
+    hyper_samples=None,
+    n_steps: int = 30,
+    lr: float = 0.1,
+):
+    """Gradient-ascent refinement of a candidate location → (x_ref, esm_ref).
+
+    Capability extension over the reference: its ``choose_next`` can only
+    return a member of the scored grid, but here ESM is a differentiable XLA
+    program, so the grid argmax (``x0``, shape (d,)) can be polished off-grid
+    with a few Adam steps on ∇ₓESM (through the optionally hyper-marginalized
+    objective). Step size is scaled by the smallest kernel length-scale so
+    ``lr`` is unitless. Returns the best iterate (never worse than x0; the
+    degenerate plateau contributes zero gradient and is simply not entered
+    because x0 already scores above it).
+    """
+    import optax
+
+    dtype = state.x_s.dtype
+    x0 = jnp.asarray(x0, dtype).reshape((opts.dim,))
+    w_scale = jnp.min(state.gp_l.theta[1 : 1 + opts.dim])
+
+    def score(x):
+        xa = x[None, :]
+        if hyper_samples is None:
+            return expected_squared_mean_xla(state, opts, xa)[0]
+        per = jax.vmap(lambda th: _esm_given_theta(state, opts, th, xa))(hyper_samples)
+        return jnp.mean(per)
+
+    opt = optax.adam(lr * w_scale)
+
+    def step(carry, _):
+        x, st, best_x, best_v = carry
+        v, g = jax.value_and_grad(score)(x)
+        better = v > best_v
+        best_x = jnp.where(better, x, best_x)
+        best_v = jnp.where(better, v, best_v)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        updates, st = opt.update(-g, st)  # ascend
+        return (optax.apply_updates(x, updates), st, best_x, best_v), None
+
+    v0 = score(x0)
+    carry0 = (x0, opt.init(x0), x0, v0)
+    (x_last, _, best_x, best_v), _ = jax.lax.scan(step, carry0, None, length=n_steps)
+    v_last = score(x_last)
+    better = v_last > best_v
+    return (
+        jnp.where(better, x_last, best_x),
+        jnp.where(better, v_last, best_v),
+    )
 
 
 def add_observation(state: BQState, opts: BQOptions, x_a, l_a) -> BQState:

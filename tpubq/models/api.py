@@ -31,7 +31,7 @@ _esm = jax.jit(acquire.expected_squared_mean, static_argnums=1)
 _ezv = jax.jit(acquire.expected_Z_var, static_argnums=1)
 _choose = jax.jit(acquire.choose_next, static_argnums=1)
 _add_obs = jax.jit(acquire.add_observation, static_argnums=1)
-_set_params = jax.jit(bqm.set_params, static_argnums=(1,))
+_set_params = jax.jit(bqm.set_params, static_argnums=(1, 4))  # (opts, ladder)
 
 
 class BQ:
@@ -238,17 +238,28 @@ class BQ:
     def fit_hypers(self, params: Sequence[str] = ("h", "w"), ntry: int = 10, seed=None):
         """Multi-restart MLL fit of the NAMED kernel params on both GPs
         (bq.py::BQ.fit_hypers parity, incl. the ``params`` subset: unlisted
-        hypers stay bit-identical). Restarts run as one vmapped L-BFGS."""
+        hypers stay bit-identical). Restarts run as one vmapped L-BFGS.
+        Naming 's' also fits the observation noise (the reference's GP
+        params vector is (theta..., s))."""
         st = self.state
         opts = self.options
-        if opts.kernel == "periodic" and tuple(params) == ("h", "w"):
-            params = ("h", "w", "p")  # default = every param of the family
-        free_mask = self._param_free_mask(params)
+        if tuple(params) == ("h", "w"):  # default = every param of the family
+            if opts.kernel == "periodic":
+                params = ("h", "w", "p")
+            elif opts.kernel == "rq":
+                params = ("h", "w", "alpha")
+        params = tuple(params)
+        fit_noise = "s" in params
+        theta_params = tuple(pp for pp in params if pp != "s")
+        free_mask = self._param_free_mask(theta_params) if theta_params else jnp.zeros(
+            int(st.gp_log_l.theta.shape[0]), bool
+        )
         k1, k2, k3, k4 = jax.random.split(self._key(seed), 4)
         from tpubq.ops.pallas_kernels import on_tpu
 
         fused = (
-            opts.use_pallas
+            not fit_noise
+            and opts.use_pallas
             and opts.kernel == "gaussian"
             and opts.dim == 1
             and opts.dtype == "float32"
@@ -256,24 +267,34 @@ class BQ:
         )
 
         def _fit(key_r, key_f, theta, s, x, y, mask):
+            if fit_noise:
+                return fitm.fit_params_with_noise(
+                    opts.kernel, theta, s, x, y, mask, key_f,
+                    n_restart=ntry, free_mask=free_mask,
+                )
             inits = fitm.random_restarts(key_r, theta, x, y, mask, ntry, kernel=opts.kernel)
             if fused:
-                return fitm.fit_params_fused(
+                th, mll = fitm.fit_params_fused(
                     theta, s, x, y, mask, key_f, inits, free_mask=free_mask
                 )
-            return fitm.fit_params(
-                opts.kernel, theta, s, x, y, mask, key_f, inits, free_mask=free_mask
-            )
+            else:
+                th, mll = fitm.fit_params(
+                    opts.kernel, theta, s, x, y, mask, key_f, inits, free_mask=free_mask
+                )
+            return th, None, mll
 
-        theta_tl, mll_tl = _fit(
+        theta_tl, s_tl_new, mll_tl = _fit(
             k1, k2, st.gp_log_l.theta, st.gp_log_l.s, st.x_s, st.tl_s, st.obs_mask
         )
-        st = _set_params(st, opts, theta_tl)
+        st = _set_params(st, opts, theta_tl, None, True, s_tl_new, None)
         l_sc = jnp.where(st.sc_mask, st.l_sc, 0.0)
-        theta_l, mll_l = _fit(
+        theta_l, s_l_new, mll_l = _fit(
             k3, k4, st.gp_l.theta, st.gp_l.s, st.x_sc, l_sc, st.sc_mask
         )
-        self._state = _set_params(st, opts, None, theta_l)
+        self._state = _set_params(st, opts, None, theta_l, True, None, s_l_new)
+        if fit_noise:
+            self.s_tl = float(self._state.gp_log_l.s)
+            self.s_l = float(self._state.gp_l.s)
         logger.debug("fit_hypers: theta_tl=%s (mll=%.4f) theta_l=%s (mll=%.4f)",
                      theta_tl, float(mll_tl), theta_l, float(mll_l))
         return self
@@ -291,7 +312,8 @@ class BQ:
             return (params,)
         return tuple(params)
 
-    def sample_hypers(self, params=None, n: int = 100, nburn: int = 10, seed=None) -> np.ndarray:
+    def sample_hypers(self, params=None, n: int = 100, nburn: int = 10, seed=None,
+                      n_chains: int = 1) -> np.ndarray:
         """Slice-sample hyperparameter posteriors (bq.py::BQ.sample_hypers
         signature: ``sample_hypers(params, n, nburn)``).
 
@@ -299,14 +321,16 @@ class BQ:
         vocabulary; add '*_l' names to sample the linear GP's jointly — rows
         then come back stacked (θ_tl ∥ θ_l), see
         tpubq.models.marginalize.sample_hypers). A bare int first argument is
-        accepted as ``n`` (tpubq r1 signature compatibility).
+        accepted as ``n`` (tpubq r1 signature compatibility). ``n_chains`` > 1
+        runs that many vmapped chains (parallel-in-one-dispatch; see
+        marginalize.sample_hypers).
         """
         if isinstance(params, (int, np.integer)):
             params, n = None, int(params)
         return np.asarray(
             margm.sample_hypers(
                 self.state, self.options, self._key(seed), n, nburn,
-                self._norm_params(params),
+                self._norm_params(params), n_chains=n_chains,
             )
         )
 
@@ -331,10 +355,15 @@ class BQ:
         return tuple(np.asarray(o) for o in outs)
 
     # --------------------------------------------------------- active sampling
-    def choose_next(self, x_a, n: int = 0, params=None, seed=None, plot: bool = False):
+    def choose_next(self, x_a, n: int = 0, params=None, seed=None,
+                    plot: bool = False, refine: bool = False):
         """Best next sample location from a grid, optionally marginalizing ESM
         over ``n`` hyper samples of the named ``params``
-        (bq.py::BQ.choose_next)."""
+        (bq.py::BQ.choose_next).
+
+        ``refine=True`` polishes the grid winner off-grid with a few Adam
+        steps on ∇ₓESM (capability extension — ESM is a differentiable XLA
+        program here; the reference can only return grid members)."""
         self._check_factorized()
         hyper = None
         if n and n > 0:
@@ -343,6 +372,8 @@ class BQ:
                 params=self._norm_params(params),
             )
         x_best, scores = _choose(self.state, self.options, jnp.asarray(x_a), hyper)
+        if refine:
+            x_best, _ = acquire.refine_next(self.state, self.options, x_best, hyper)
         if plot:
             from tpubq.utils import plotting
 

@@ -92,24 +92,30 @@ def inv_log_transform(tl: jnp.ndarray, gamma) -> jnp.ndarray:
 def choose_candidates(x_s, obs_mask, opts: BQOptions):
     """Candidate grid + mask (bq.py::BQ._choose_candidates).
 
-    A linspace of ``n_candidate`` points across the live observation range;
-    points within ``candidate_thresh`` (sup-norm) of any live observation are
-    masked out instead of dropped, keeping shapes static.
-    1-D rule, applied along the first input dimension; for d > 1 the grid
-    varies dim 0 and fixes other dims at the masked mean of observations.
+    1-D (the reference's regime): a linspace of ``n_candidate`` points
+    across the live observation range. d > 1: ``n_candidate`` Halton
+    points spanning the live bounding box — a space-filling design that
+    anchors the exp-linearization across the whole observed region (a 1-D
+    line through the center, as in round 1, leaves off-axis volume
+    unanchored). Points within ``candidate_thresh`` (sup-norm) of any live
+    observation are masked out instead of dropped, keeping shapes static.
     """
     dtype = x_s.dtype
+    d = x_s.shape[1]
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     m = obs_mask
-    x0 = x_s[:, 0]
-    lo = jnp.min(jnp.where(m, x0, big))
-    hi = jnp.max(jnp.where(m, x0, -big))
-    t = jnp.linspace(0.0, 1.0, opts.n_candidate, dtype=dtype)
-    grid0 = lo + t * (hi - lo)
-    n_live = jnp.maximum(jnp.sum(m.astype(dtype)), 1.0)
-    center = jnp.sum(jnp.where(m[:, None], x_s, 0.0), axis=0) / n_live
-    x_c = jnp.tile(center[None, :], (opts.n_candidate, 1))
-    x_c = x_c.at[:, 0].set(grid0)
+    lo = jnp.min(jnp.where(m[:, None], x_s, big), axis=0)  # (d,)
+    hi = jnp.max(jnp.where(m[:, None], x_s, -big), axis=0)
+    if d == 1:
+        t = jnp.linspace(0.0, 1.0, opts.n_candidate, dtype=dtype)[:, None]
+    else:
+        import numpy as np
+        from scipy.stats import qmc
+
+        t = jnp.asarray(
+            qmc.Halton(d, scramble=False).random(opts.n_candidate + 1)[1:], dtype
+        )  # static trace-time constants, like the GH/QMC node sets
+    x_c = lo[None, :] + t * (hi - lo)[None, :]
     return x_c, filter_candidates(x_c, x_s, m, opts.candidate_thresh)
 
 
@@ -163,34 +169,42 @@ def _fit_gps(state: BQState, opts: BQOptions, ladder: bool = True) -> BQState:
 _fit_gps_jit = jax.jit(_fit_gps, static_argnums=(1, 2))
 
 
-def default_params(opts: BQOptions):
-    """Dim-aware default kernel params: (h=1, w_1..w_d=1) — or (h, w, p) for
-    the periodic family. A flat (1.0, 1.0) default silently broadcasts wrong
-    for d > 1 (ADVICE r1), so defaults must track opts.dim."""
+def theta_len(opts: BQOptions) -> int:
+    """Flat kernel-param vector length for the configured family/dim."""
     if opts.kernel == "periodic":
-        return (1.0, 1.0, 1.0)
-    return (1.0,) + (1.0,) * opts.dim
+        return 3  # (h, w, p), 1-D only
+    if opts.kernel == "rq":
+        return opts.dim + 2  # (h, w_1..w_d, alpha)
+    return opts.dim + 1  # (h, w_1..w_d)
+
+
+def default_params(opts: BQOptions):
+    """Dim-aware default kernel params: unit h/w per dimension, plus the
+    family's extra shape parameter (period for periodic, α for rq). A flat
+    (1.0, 1.0) default silently broadcasts wrong for d > 1 (ADVICE r1), so
+    defaults must track opts.dim."""
+    return (1.0,) * theta_len(opts)
 
 
 def validate_theta(theta, opts: BQOptions, name="theta"):
     """Trace-time check that the flat kernel param vector matches the family.
 
-    gaussian/matern52 need (h, w_1..w_d) = dim+1 entries; periodic needs
-    (h, w, p) and is 1-D. A length-1 w broadcast elementwise into W + Sigma
-    computes silently-wrong integrals (ADVICE r1, medium), hence hard errors.
+    gaussian/matern need (h, w_1..w_d) = dim+1 entries; rq appends α;
+    periodic needs (h, w, p) and is 1-D. A length-1 w broadcast elementwise
+    into W + Sigma computes silently-wrong integrals (ADVICE r1, medium),
+    hence hard errors.
     """
     n = int(theta.shape[0]) if hasattr(theta, "shape") else len(theta)
-    if opts.kernel == "periodic":
-        if opts.dim != 1:
-            raise ValueError("periodic kernel is 1-D only")
-        if n != 3:
-            raise ValueError(f"{name} for periodic kernel must be (h, w, p); got {n} entries")
-    else:
-        if n != opts.dim + 1:
-            raise ValueError(
-                f"{name} for {opts.kernel} kernel in dim {opts.dim} must have "
-                f"{opts.dim + 1} entries (h, w_1..w_d); got {n}"
-            )
+    if opts.kernel == "periodic" and opts.dim != 1:
+        raise ValueError("periodic kernel is 1-D only")
+    want = theta_len(opts)
+    if n != want:
+        layouts = {"periodic": "(h, w, p)", "rq": "(h, w_1..w_d, alpha)"}
+        layout = layouts.get(opts.kernel, "(h, w_1..w_d)")
+        raise ValueError(
+            f"{name} for {opts.kernel} kernel in dim {opts.dim} must have "
+            f"{want} entries {layout}; got {n}"
+        )
 
 
 def init_state(
@@ -296,14 +310,28 @@ def init_state(
     return _fit_gps_jit(state, opts, True)
 
 
-def set_params(state: BQState, opts: BQOptions, theta_tl=None, theta_l=None, ladder=True) -> BQState:
-    """Swap kernel hyperparameters and refactorize (gp params setter parity)."""
+def set_params(
+    state: BQState,
+    opts: BQOptions,
+    theta_tl=None,
+    theta_l=None,
+    ladder=True,
+    s_tl=None,
+    s_l=None,
+) -> BQState:
+    """Swap kernel hyperparameters (and optionally the observation noise)
+    and refactorize (gp params setter parity — the reference's GP params
+    vector is (theta..., s))."""
     gp_tl = state.gp_log_l
     gp_l = state.gp_l
     if theta_tl is not None:
         gp_tl = gp_tl._replace(theta=jnp.asarray(theta_tl, state.x_s.dtype))
+    if s_tl is not None:
+        gp_tl = gp_tl._replace(s=jnp.asarray(s_tl, state.x_s.dtype))
     if theta_l is not None:
         gp_l = gp_l._replace(theta=jnp.asarray(theta_l, state.x_s.dtype))
+    if s_l is not None:
+        gp_l = gp_l._replace(s=jnp.asarray(s_l, state.x_s.dtype))
     return _fit_gps_jit(state._replace(gp_log_l=gp_tl, gp_l=gp_l), opts, ladder)
 
 

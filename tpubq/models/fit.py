@@ -21,7 +21,7 @@ import optax
 from tpubq.models import gp as gpm
 from tpubq.ops.kernels import get_kernel
 
-__all__ = ["fit_params", "random_restarts"]
+__all__ = ["fit_params", "fit_params_with_noise", "random_restarts"]
 
 
 def _objective(kfn, s, x, y, mask, jitter, free_mask=None, u_frozen=None):
@@ -75,6 +75,16 @@ def random_restarts(key, theta0, x, y, mask, n_restart: int, kernel: str = "gaus
             kp, (n_restart, 1), dtype, jnp.log(spacing), jnp.log(2.0 * xr[0])
         )
         u = jnp.concatenate([log_h, log_w, log_p], axis=1)
+    elif kernel == "rq":
+        # theta = (h, w_1..w_d, alpha); alpha is a unitless mixture shape.
+        d = x.shape[1]
+        log_w = jnp.log(xr)[None, :] + jax.random.uniform(
+            kw, (n_restart, d), dtype, jnp.log(0.05), jnp.log(2.0)
+        )
+        log_a = jax.random.uniform(
+            kp, (n_restart, 1), dtype, jnp.log(0.5), jnp.log(4.0)
+        )
+        u = jnp.concatenate([log_h, log_w, log_a], axis=1)
     else:
         log_w = jnp.log(xr)[None, :] + jax.random.uniform(
             kw, (n_restart, p - 1), dtype, jnp.log(0.05), jnp.log(2.0)
@@ -136,6 +146,84 @@ def fit_params(
     if free_mask is not None:
         theta_best = jnp.where(free_mask, theta_best, theta0)  # frozen = bit-identical
     return theta_best, -vals[best]
+
+
+@partial(jax.jit, static_argnames=("kernel", "n_restart", "n_iter"))
+def fit_params_with_noise(
+    kernel: str,
+    theta0: jnp.ndarray,
+    s0,
+    x,
+    y,
+    mask,
+    key,
+    n_restart: int = 10,
+    n_iter: int = 60,
+    jitter: float = 1e-10,
+    free_mask: jnp.ndarray = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Maximize the masked MLL over (theta, s) jointly → (theta, s, mll).
+
+    The reference's GP params vector is (theta..., s); ``fit_hypers`` with
+    's' among the named params lands here. Optimization is over
+    u = (log theta, log s); an ``s0`` of exactly zero starts restarts from a
+    small fraction of the target scale instead (log 0 is unusable), and the
+    incumbent row keeps s at that floor. ``free_mask`` (over theta only)
+    freezes unlisted kernel params; s is always free on this path.
+    """
+    kfn, _ = get_kernel(kernel)
+    dtype = x.dtype
+    p = theta0.shape[0]
+    m = mask.astype(dtype)
+    n_live = jnp.maximum(jnp.sum(m), 1.0)
+    ymean = jnp.sum(y * m) / n_live
+    ystd = jnp.sqrt(jnp.maximum(jnp.sum(m * (y - ymean) ** 2) / n_live, 1e-12))
+    s_floor = 1e-4 * ystd
+    s_start = jnp.maximum(jnp.asarray(s0, dtype), s_floor)
+
+    u_frozen = jnp.log(theta0)
+
+    def obj(u):
+        ut = u[:p]
+        if free_mask is not None:
+            ut = jnp.where(free_mask, ut, u_frozen)
+        theta = jnp.exp(ut)
+        s = jnp.exp(u[p])
+        return -gpm.log_mll(kfn, theta, s, x, y, mask, jitter)
+
+    k_theta, k_s = jax.random.split(key)
+    u_theta = random_restarts(k_theta, theta0, x, y, mask, n_restart, kernel=kernel)
+    log_s = jnp.log(ystd) + jax.random.uniform(
+        k_s, (n_restart, 1), dtype, jnp.log(1e-4), jnp.log(0.3)
+    )
+    inits = jnp.concatenate([u_theta, log_s], axis=1)
+    inits = inits.at[0, p].set(jnp.log(s_start))  # incumbent row
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(obj)
+
+    def run_one(u0):
+        state0 = opt.init(u0)
+
+        def step(carry, _):
+            u, st = carry
+            value, grad = value_and_grad(u, state=st)
+            updates, st = opt.update(grad, st, u, value=value, grad=grad, value_fn=obj)
+            u = optax.apply_updates(u, updates)
+            return (u, st), None
+
+        (u, _), _ = jax.lax.scan(step, (u0, state0), None, length=n_iter)
+        return u
+
+    u_final = jax.vmap(run_one)(inits)
+    vals = jax.vmap(obj)(u_final)
+    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+    best = jnp.argmin(vals)
+    u_best = u_final[best]
+    theta_best = jnp.exp(u_best[:p])
+    if free_mask is not None:
+        theta_best = jnp.where(free_mask, theta_best, theta0)
+    return theta_best, jnp.exp(u_best[p]), -vals[best]
 
 
 @partial(jax.jit, static_argnames=("n_iter", "interpret"))

@@ -107,10 +107,38 @@ def slice_sample(
     return us[nburn:]
 
 
+def _run_chains(key, logpdf: Callable, u0, n: int, nburn: int, coords, n_chains: int):
+    """Dispatch n draws across ``n_chains`` vmapped slice-sampling chains.
+
+    Chain 0 starts at u0 (the incumbent); the rest at log-jittered copies
+    (swept coordinates only — frozen ones must stay exact). Draws are
+    interleaved round-robin across chains so a truncation to ``n`` keeps a
+    balanced mix.
+    """
+    if n_chains <= 1:
+        return slice_sample(key, logpdf, u0, n, nburn, coords=coords)
+    import numpy as _np
+
+    per = -(-n // n_chains)  # ceil
+    k_init, k_run = jax.random.split(key)
+    jitter0 = jax.random.normal(k_init, (n_chains, u0.shape[0]), u0.dtype) * 0.3
+    jitter0 = jitter0.at[0].set(0.0)
+    swept = _np.zeros(u0.shape[0], bool)
+    swept[list(coords)] = True
+    u0s = jnp.where(jnp.asarray(swept)[None, :], u0[None, :] + jitter0, u0[None, :])
+    keys = jax.random.split(k_run, n_chains)
+    us = jax.vmap(
+        lambda k, u: slice_sample(k, logpdf, u, per, nburn, coords=coords)
+    )(keys, u0s)  # (C, per, p)
+    return jnp.swapaxes(us, 0, 1).reshape(n_chains * per, u0.shape[0])[:n]
+
+
 def _names_for(opts: BQOptions):
     """Per-GP map of reference hyper names → local theta indices."""
     if opts.kernel == "periodic":
         return {"h": (0,), "w": (1,), "p": (2,)}
+    if opts.kernel == "rq":
+        return {"h": (0,), "w": tuple(range(1, opts.dim + 1)), "alpha": (opts.dim + 1,)}
     return {"h": (0,), "w": tuple(range(1, opts.dim + 1))}
 
 
@@ -124,8 +152,10 @@ def param_coords(params, opts: BQOptions):
     Returns coordinate indices into the stacked log-param vector
     u = (log θ_tl, log θ_l) and whether any linear-GP param was named.
     """
+    from tpubq.models.bq import theta_len
+
     local = _names_for(opts)
-    p_tl = {"periodic": 3}.get(opts.kernel, opts.dim + 1)
+    p_tl = theta_len(opts)
     coords, sample_l = [], False
     for name in params:
         base, is_l = (name[:-2], True) if name.endswith("_l") else (name, False)
@@ -140,7 +170,7 @@ def param_coords(params, opts: BQOptions):
     return tuple(sorted(set(coords))), sample_l
 
 
-@partial(jax.jit, static_argnames=("opts", "n", "nburn", "params"))
+@partial(jax.jit, static_argnames=("opts", "n", "nburn", "params", "n_chains"))
 def sample_hypers(
     state: BQState,
     opts: BQOptions,
@@ -148,6 +178,7 @@ def sample_hypers(
     n: int,
     nburn: int = 10,
     params=("h", "w"),
+    n_chains: int = 1,
 ):
     """Slice-sample kernel hyperparameters from MLL × weak prior
     (bq.py::BQ.sample_hypers).
@@ -160,9 +191,19 @@ def sample_hypers(
     under each θ_tl (the exact dependency ``_fit_gps`` applies), and samples
     come back stacked as (n, p_tl + p_l) — feed them to ``marginalize`` /
     ``choose_next``, which dispatch on the width.
+
+    ``n_chains`` > 1 runs that many slice-sampling chains as ONE vmapped
+    program (TPU-native extension: the sampler is inherently sequential, but
+    chains are embarrassingly parallel — wall-clock drops ~n_chains× and
+    mixing improves). Chain 0 starts at the incumbent θ; the rest start at
+    log-jittered copies; each chain burns ``nburn`` and contributes
+    ceil(n / n_chains) draws, interleaved then truncated to ``n``.
     """
-    if opts.kernel == "periodic" and params == ("h", "w"):
-        params = ("h", "w", "p")  # default = all of θ_tl for the family
+    if params == ("h", "w"):  # default = every param of the family
+        if opts.kernel == "periodic":
+            params = ("h", "w", "p")
+        elif opts.kernel == "rq":
+            params = ("h", "w", "alpha")
     kfn, _ = get_kernel(opts.kernel)
     gp_tl = state.gp_log_l
     gp_l = state.gp_l
@@ -181,7 +222,7 @@ def sample_hypers(
             return jnp.where(jnp.isfinite(mll), mll + prior, -jnp.inf)
 
         u0 = jnp.log(gp_tl.theta)
-        us = slice_sample(key, logpdf, u0, n, nburn, coords=coords)
+        us = _run_chains(key, logpdf, u0, n, nburn, coords, n_chains)
         return jnp.exp(us)
 
     def logpdf(u):
@@ -210,7 +251,7 @@ def sample_hypers(
         return jnp.where(jnp.isfinite(tot), tot, -jnp.inf)
 
     u0 = jnp.concatenate([jnp.log(gp_tl.theta), jnp.log(gp_l.theta)])
-    us = slice_sample(key, logpdf, u0, n, nburn, coords=coords)
+    us = _run_chains(key, logpdf, u0, n, nburn, coords, n_chains)
     return jnp.exp(us)
 
 

@@ -77,10 +77,46 @@ def matern52_Kdiag(theta: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.full((x.shape[0],), h * h, dtype=x.dtype)
 
 
+def matern32_K(theta: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Matérn-3/2 Gram matrix: h² (1 + √3 r) exp(−√3 r), r = ‖Δ/w‖.
+
+    Capability extension (see matern52_K); Z/ESM via the kernel-agnostic
+    measure quadratures (tpubq.models.bq.int_K_measure).
+    """
+    h = theta[0]
+    w = theta[1:]
+    r = jnp.sqrt(sqdist(x1, x2, w) + 1e-36)
+    s3r = jnp.sqrt(3.0) * r
+    return (h * h) * (1.0 + s3r) * jnp.exp(-s3r)
+
+
+def matern32_Kdiag(theta: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    h = theta[0]
+    return jnp.full((x.shape[0],), h * h, dtype=x.dtype)
+
+
+def rq_K(theta: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Rational-quadratic Gram: h² (1 + r²/(2α))^{−α}, r = ‖Δ/w‖;
+    ``theta = [h, w_1..w_d, α]`` (a scale-mixture of gaussians over inverse
+    squared length-scales; α → ∞ recovers the gaussian kernel)."""
+    h = theta[0]
+    w = theta[1:-1]
+    a = theta[-1]
+    r2 = sqdist(x1, x2, w)
+    return (h * h) * jnp.power(1.0 + r2 / (2.0 * a), -a)
+
+
+def rq_Kdiag(theta: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    h = theta[0]
+    return jnp.full((x.shape[0],), h * h, dtype=x.dtype)
+
+
 _KERNELS = {
     "gaussian": (gaussian_K, gaussian_Kdiag),
     "periodic": (periodic_K, periodic_Kdiag),
     "matern52": (matern52_K, matern52_Kdiag),
+    "matern32": (matern32_K, matern32_Kdiag),
+    "rq": (rq_K, rq_Kdiag),
 }
 
 
@@ -155,3 +191,21 @@ class Matern52Kernel(_KernelFacade):
 
     def __init__(self, h, w):
         super().__init__(h, w)
+
+
+class Matern32Kernel(_KernelFacade):
+    """Matérn-3/2; params (h, w)."""
+
+    _name = "matern32"
+
+    def __init__(self, h, w):
+        super().__init__(h, w)
+
+
+class RationalQuadraticKernel(_KernelFacade):
+    """Rational quadratic; params (h, w, alpha)."""
+
+    _name = "rq"
+
+    def __init__(self, h, w, alpha):
+        super().__init__(h, w, alpha)

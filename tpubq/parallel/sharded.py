@@ -28,7 +28,13 @@ from tpubq.models.bq import BQState, Z_mean, Z_var, apply_hyper_sample
 from tpubq.parallel.mesh import AXIS_GRID, AXIS_SAMPLE
 from tpubq.utils.options import BQOptions
 
-__all__ = ["choose_next_sharded", "marginalize_sharded", "pad_to_multiple"]
+__all__ = [
+    "choose_next_sharded",
+    "marginalize_sharded",
+    "fleet_Z_moments_sharded",
+    "fleet_choose_next_sharded",
+    "pad_to_multiple",
+]
 
 
 def pad_to_multiple(arr: jnp.ndarray, m: int, axis: int = 0):
@@ -133,3 +139,75 @@ def shard_grid(x_a: jnp.ndarray, mesh: Mesh):
     """Place a candidate grid with rows sharded along sp (GSPMD-style entry:
     jit programs consuming this input are partitioned automatically)."""
     return jax.device_put(x_a, NamedSharding(mesh, P(AXIS_GRID, None)))
+
+
+# ---------------------------------------------------------------------------
+# Fleet sharding: B independent problems served across the mesh — the
+# production scale-out shape (models/batched.py is the single-device fleet).
+# ---------------------------------------------------------------------------
+
+
+def fleet_Z_moments_sharded(states: BQState, opts: BQOptions, mesh: Mesh):
+    """Fleet E[Z]/V[Z] with the problem axis sharded over the FULL mesh
+    (dp × sp used as one flat axis — the moments have no grid to split).
+    Matches models/batched.py::Z_mean_batch/Z_var_batch per problem."""
+    n_total = mesh.shape[AXIS_SAMPLE] * mesh.shape[AXIS_GRID]
+    padded, n_real = jax.tree.map(
+        lambda a: pad_to_multiple(a, n_total, axis=0)[0], states
+    ), states.ns.shape[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P((AXIS_SAMPLE, AXIS_GRID)),),
+        out_specs=P((AXIS_SAMPLE, AXIS_GRID)),
+    )
+    def _eval(sts):
+        return (
+            jax.vmap(Z_mean, (0, None))(sts, opts),
+            jax.vmap(Z_var, (0, None))(sts, opts),
+        )
+
+    zm, zv = _eval(padded)
+    return zm[:n_real], zv[:n_real]
+
+
+def fleet_choose_next_sharded(states: BQState, opts: BQOptions, x_a, mesh: Mesh):
+    """Fleet ``choose_next`` over a shared grid: problems shard along dp,
+    the grid along sp; each device scores its (problem-slice × grid-slice)
+    block, and the per-problem argmax is a (max, argmin-index) reduction
+    over sp via ``pmax``/``pmin`` collectives. Returns ((B, d), (B, G))."""
+    n_dp = mesh.shape[AXIS_SAMPLE]
+    n_sp = mesh.shape[AXIS_GRID]
+    from tpubq.models.acquire import as_points
+
+    x_a = as_points(jnp.asarray(x_a, states.x_s.dtype), opts.dim)
+    grid_pad, n_grid = pad_to_multiple(x_a, n_sp, axis=0)
+    states_pad = jax.tree.map(lambda a: pad_to_multiple(a, n_dp, axis=0)[0], states)
+    n_b = states.ns.shape[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_SAMPLE), P(AXIS_GRID, None)),
+        out_specs=(P(AXIS_SAMPLE), P(AXIS_SAMPLE, AXIS_GRID)),
+    )
+    def _score(sts, grid_shard):
+        # (B_local, G_local) scores for this device's block
+        scores = jax.vmap(
+            lambda st: acquire.expected_squared_mean(st, opts, grid_shard)
+        )(sts)
+        # global grid indices of this shard
+        g0 = jax.lax.axis_index(AXIS_GRID) * grid_shard.shape[0]
+        local_best = jnp.argmax(scores, axis=1)
+        local_val = jnp.take_along_axis(scores, local_best[:, None], axis=1)[:, 0]
+        best_val = jax.lax.pmax(local_val, AXIS_GRID)
+        # among shards achieving the max, take the smallest global index
+        big = jnp.iinfo(jnp.int32).max
+        cand = jnp.where(local_val >= best_val, g0 + local_best.astype(jnp.int32), big)
+        best_idx = jax.lax.pmin(cand, AXIS_GRID)
+        return best_idx, scores
+
+    best_idx, scores = _score(states_pad, grid_pad)
+    best_idx = jnp.minimum(best_idx[:n_b], n_grid - 1)
+    return grid_pad[best_idx], scores[:n_b, :n_grid]

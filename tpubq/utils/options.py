@@ -47,9 +47,10 @@ class BQOptions:
         a re-trace with a larger capacity (handled by the ``BQ`` wrapper).
       dim: input dimensionality d (reference is 1-D; closed forms here are
         general-d with diagonal kernel covariance).
-      kernel: covariance kernel family: "gaussian", "periodic", or
-        "matern52". Closed-form Z integrals exist only for "gaussian"; other
-        families use the Gauss–Hermite measure-quadrature paths.
+      kernel: covariance kernel family: "gaussian", "periodic", "matern52",
+        "matern32", or "rq". Closed-form Z integrals exist only for
+        "gaussian"; other families use the Gauss–Hermite (d ≤ 3) / Halton
+        QMC (d > 3) measure-quadrature paths.
       dtype: "float64" (default, needed for 1e-6 parity) or "float32"
         (TPU hot path).
       base_jitter: relative diagonal conditioning always added before
@@ -76,7 +77,7 @@ class BQOptions:
     n_qmc: int = 4096
 
     def __post_init__(self):
-        if self.kernel not in ("gaussian", "periodic", "matern52"):
+        if self.kernel not in ("gaussian", "periodic", "matern52", "matern32", "rq"):
             raise ValueError(f"unknown kernel {self.kernel!r}")
         if self.dtype not in ("float64", "float32"):
             raise ValueError(f"unknown dtype {self.dtype!r}")
