@@ -24,17 +24,17 @@ All kernels run in interpret mode off-TPU (CPU tests exercise the same
 code); wrappers pad shapes to tile boundaries with identity rows (the
 pad_gram convention of tpubq.ops.linalg).
 
-Dispatch status (measured on the v5e, round 2 — benchmarks/pallas_vs_xla.py,
-full table in PARITY.md): the PRODUCTION paths route through ``esm_fused``
-and ``mll_grad_batched`` only. The standalone ``gaussian_gram``,
-``cholesky_batched``, ``cholesky_blocked`` and ``tri_solve_blocked`` kernels
-LOSE to XLA at every size this workload reaches (Gram: XLA fuses it into
-consumers and never materializes it; Cholesky/tri-solve: XLA's TPU custom
-calls beat the vectorized column algorithm 2–5×; the blocked kernels are
-VMEM-resident, N ≲ 1024 f32). They are kept as tested reference
-implementations for future fused pipelines — fusion across the
-factorization boundary (as ``esm_fused`` and ``mll_grad_batched`` do) is
-where Pallas wins on this workload.
+Dispatch status (measured on the v5e, round 2 — benchmarks/pallas_vs_xla.py
+and PARITY.md): the only PRODUCTION Pallas path is ``mll_grad_batched``
+(via fit_params_fused). Everything else here LOSES to XLA at the sizes this
+workload reaches: the Gram because XLA fuses it into consumers and never
+materializes it; Cholesky/tri-solve because XLA's TPU custom calls beat the
+vectorized column algorithm 2–5× (and the blocked kernels are VMEM-resident,
+N ≲ 1024 f32); and — round-2 addendum — even ``esm_fused``, once K⁻¹ is
+cached in GPState and applied as MXU matmuls, measures ~0.7× the pure-XLA
+scoring path. All kernels stay tested (interpret-mode on CPU, compiled on
+TPU) as reference implementations; the honest engineering conclusion is
+that on this tiny-matrix workload XLA's own fusion is the speed of light.
 """
 
 from __future__ import annotations
@@ -48,7 +48,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gaussian_gram", "cholesky_batched", "mll_grad_batched", "on_tpu"]
+__all__ = [
+    "gaussian_gram",
+    "cholesky_batched",
+    "cholesky_blocked",
+    "tri_solve_blocked",
+    "mll_grad_batched",
+    "esm_fused",
+    "on_tpu",
+]
 
 _LOG2PI = math.log(2.0 * math.pi)
 

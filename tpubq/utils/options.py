@@ -56,8 +56,10 @@ class BQOptions:
       base_jitter: relative diagonal conditioning always added before
         factorization (the functional analogue of the reference's
         ``improve_covariance_conditioning``, bq_c.pyx).
-      use_pallas: route hot ops through Pallas TPU kernels where available
-        (falls back to pure-XLA paths off-TPU or when False).
+      use_pallas: route the hyperparameter fit through the fused Pallas
+        MLL+grad kernel on TPU (1-D gaussian f32). Scoring always uses the
+        XLA path — measured faster than the fused scorer once K⁻¹ is cached
+        (PARITY.md dispatch table); falls back to pure XLA off-TPU.
       n_gh: number of Gauss–Hermite nodes for the approx (quadrature) twin of
         the expected-squared-mean moments.
       n_qmc: number of quasi-Monte-Carlo (Halton) nodes for the d > 3
