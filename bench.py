@@ -189,7 +189,10 @@ def _tpubq_throughput():
     # the per-sweep cost is tens of µs: the iteration delta must dwarf the
     # tunnel's per-run jitter (±ms), hence thousands of iterations
     n_short, n_long = 16, 2064
-    dt = (run(n_long, 7) - run(n_short, 7)) / (n_long - n_short)
+    t_short, t_long = run(n_short, 7), run(n_long, 7)
+    dt = (t_long - t_short) / (n_long - n_short)
+    if dt <= 0:  # tunnel jitter outlier swamped the delta: fall back to the
+        dt = t_long / n_long  # conservative upper bound (includes overhead)
     return N_GRID / dt, platform
 
 
@@ -320,7 +323,10 @@ def _active_loop_throughput(n_short=8, n_long=72):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    step = (run(n_long) - run(n_short)) / (n_long - n_short)
+    t_short, t_long = run(n_short), run(n_long)
+    step = (t_long - t_short) / (n_long - n_short)
+    if step <= 0:  # jitter outlier: conservative upper bound
+        step = t_long / n_long
     return 1.0 / step, platform
 
 

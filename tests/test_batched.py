@@ -90,3 +90,29 @@ def test_batched_per_problem_params_and_grids():
         batched.expected_squared_mean_batch(states, OPTS, jnp.asarray(grids), per_problem=True)
     )
     assert scores.shape == (4, 21) and np.all(np.isfinite(scores))
+
+
+def test_state_checkpoints_do_not_persist_kinv(tmp_path):
+    """K^-1 is derivable from L; checkpoints skip it (size) and loads
+    rebuild it exactly."""
+    import numpy as np
+
+    from tests import util as tu
+    from tpubq.models import batched as bt
+    from tpubq.utils import io as tio
+    from tpubq.utils.options import BQOptions
+
+    xs = np.stack([tu.make_x(), tu.make_x() + 0.1])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    opts = BQOptions(n_candidate=12, candidate_thresh=0.2, max_obs=16)
+    fleet = bt.init_batch(xs, ls, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    path = tmp_path / "fleet.npz"
+    tio.save_state(path, fleet, opts)
+    with np.load(str(path) if str(path).endswith(".npz") else str(path) + ".npz") as d:
+        assert not any(k.endswith(".Kinv") for k in d.files)
+    loaded, _ = tio.load_state(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded.gp_l.Kinv), np.asarray(fleet.gp_l.Kinv), rtol=1e-12
+    )
+    zm = np.asarray(bt.Z_mean_batch(loaded, opts))
+    np.testing.assert_allclose(zm, np.asarray(bt.Z_mean_batch(fleet, opts)), rtol=1e-12)

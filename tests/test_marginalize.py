@@ -130,3 +130,34 @@ def test_multi_chain_respects_param_subsets():
     assert th.shape == (9, 2)
     assert np.allclose(th[:, 1], th[0, 1])  # w frozen in every chain
     assert np.std(th[:, 0]) > 0
+
+
+def test_sample_hypers_legacy_positional_shift():
+    """r1-signature calls shift the WHOLE positional prefix:
+    sample_hypers(12, 5, 42) == sample_hypers(n=12, nburn=5, seed=42)."""
+    bq = tu.make_bq()
+    legacy = bq.sample_hypers(12, 5, 42)
+    modern = bq.sample_hypers(params=None, n=12, nburn=5, seed=42)
+    np.testing.assert_array_equal(legacy, modern)
+    with pytest.raises(TypeError):
+        bq.sample_hypers(12, 5, 42, seed=7)  # ambiguous mix
+
+
+def test_periodic_explicit_params_freeze_period():
+    """An explicit params=("h","w") is honored verbatim (no silent expansion
+    to the full family): the periodic kernel's period stays frozen."""
+    x = np.linspace(0.0, 4.0, 14)
+    l = np.exp(np.sin(2 * np.pi * x / 2.0)) / 10.0
+    import tpubq
+
+    bq = tpubq.BQ(x, l, kernel="periodic", n_candidate=10, candidate_thresh=0.15,
+                  x_mean=2.0, x_var=1.5)
+    bq.init(params_tl=(0.5, 1.0, 2.0), params_l=(0.5, 1.0, 2.0))
+    p0 = float(np.asarray(bq.gp_log_l.theta)[2])
+    bq.fit_hypers(params=("h", "w"), ntry=3, seed=0)
+    assert float(np.asarray(bq.gp_log_l.theta)[2]) == p0  # period frozen
+    th = bq.sample_hypers(params=("h", "w"), n=5, seed=1)
+    assert np.allclose(th[:, 2], p0)  # and in sampling
+    # default (None) moves the whole family, period included
+    th_all = bq.sample_hypers(n=5, seed=1)
+    assert np.std(th_all[:, 2]) > 0

@@ -338,7 +338,11 @@ def refine_next(
 
     dtype = state.x_s.dtype
     x0 = jnp.asarray(x0, dtype).reshape((opts.dim,))
-    w_scale = jnp.min(state.gp_l.theta[1 : 1 + opts.dim])
+    if opts.kernel == "periodic":
+        # theta = (h, w, p): w is unitless; the period p carries input units
+        w_scale = state.gp_l.theta[2]
+    else:
+        w_scale = jnp.min(state.gp_l.theta[1 : 1 + opts.dim])
 
     def score(x):
         xa = x[None, :]

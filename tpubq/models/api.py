@@ -235,20 +235,17 @@ class BQ:
             free[list(local[nm])] = True
         return None if free.all() else jnp.asarray(free)
 
-    def fit_hypers(self, params: Sequence[str] = ("h", "w"), ntry: int = 10, seed=None):
+    def fit_hypers(self, params: Optional[Sequence[str]] = None, ntry: int = 10, seed=None):
         """Multi-restart MLL fit of the NAMED kernel params on both GPs
         (bq.py::BQ.fit_hypers parity, incl. the ``params`` subset: unlisted
-        hypers stay bit-identical). Restarts run as one vmapped L-BFGS.
-        Naming 's' also fits the observation noise (the reference's GP
-        params vector is (theta..., s))."""
+        hypers stay bit-identical — an explicit tuple is honored verbatim,
+        so periodic/rq users can freeze p/alpha with params=("h", "w")).
+        ``None`` fits every param of the family. Restarts run as one vmapped
+        L-BFGS. Naming 's' also fits the observation noise (the reference's
+        GP params vector is (theta..., s))."""
         st = self.state
         opts = self.options
-        if tuple(params) == ("h", "w"):  # default = every param of the family
-            if opts.kernel == "periodic":
-                params = ("h", "w", "p")
-            elif opts.kernel == "rq":
-                params = ("h", "w", "alpha")
-        params = tuple(params)
+        params = self._norm_params(params)
         fit_noise = "s" in params
         theta_params = tuple(pp for pp in params if pp != "s")
         free_mask = self._param_free_mask(theta_params) if theta_params else jnp.zeros(
@@ -302,17 +299,20 @@ class BQ:
     #: BASELINE.json spells the public method ``fit``.
     fit = fit_hypers
 
-    @staticmethod
-    def _norm_params(params) -> tuple:
+    def _norm_params(self, params) -> tuple:
         """Normalize a params argument to the static tuple the sampler takes.
-        ``None`` → the reference default (θ_tl's h, w)."""
+        ``None`` → every hyper of the configured family (the reference
+        default); an explicit tuple is honored verbatim, so e.g. a periodic
+        user CAN freeze the period with params=("h", "w")."""
         if params is None:
-            return ("h", "w")
+            from tpubq.models.marginalize import _names_for
+
+            return tuple(sorted(_names_for(self.options)))
         if isinstance(params, str):
             return (params,)
         return tuple(params)
 
-    def sample_hypers(self, params=None, n: int = 100, nburn: int = 10, seed=None,
+    def sample_hypers(self, params=None, n: int = None, nburn: int = None, seed=None,
                       n_chains: int = 1) -> np.ndarray:
         """Slice-sample hyperparameter posteriors (bq.py::BQ.sample_hypers
         signature: ``sample_hypers(params, n, nburn)``).
@@ -320,13 +320,24 @@ class BQ:
         ``params`` names which hypers move ('h', 'w' → θ_tl, the reference
         vocabulary; add '*_l' names to sample the linear GP's jointly — rows
         then come back stacked (θ_tl ∥ θ_l), see
-        tpubq.models.marginalize.sample_hypers). A bare int first argument is
-        accepted as ``n`` (tpubq r1 signature compatibility). ``n_chains`` > 1
-        runs that many vmapped chains (parallel-in-one-dispatch; see
-        marginalize.sample_hypers).
+        tpubq.models.marginalize.sample_hypers). A bare int first argument
+        invokes tpubq r1 signature compatibility — the WHOLE positional
+        prefix shifts: ``sample_hypers(100, 20, 42)`` means
+        (n=100, nburn=20, seed=42). ``n_chains`` > 1 runs that many vmapped
+        chains (parallel-in-one-dispatch; see marginalize.sample_hypers).
         """
         if isinstance(params, (int, np.integer)):
-            params, n = None, int(params)
+            # r1 signature (n, nburn=10, seed=None): shift every positional,
+            # not just the first (a partial shift silently dropped the
+            # caller's nburn/seed — ADVICE r2 review finding)
+            if seed is not None and nburn is not None:
+                raise TypeError(
+                    "ambiguous call: legacy positional (n, nburn, seed) form "
+                    "cannot be mixed with seed="
+                )
+            params, n, nburn, seed = None, int(params), n, nburn if nburn is not None else seed
+        n = 100 if n is None else int(n)
+        nburn = 10 if nburn is None else int(nburn)
         return np.asarray(
             margm.sample_hypers(
                 self.state, self.options, self._key(seed), n, nburn,

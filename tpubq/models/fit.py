@@ -24,6 +24,33 @@ from tpubq.ops.kernels import get_kernel
 __all__ = ["fit_params", "fit_params_with_noise", "random_restarts"]
 
 
+def _run_restarts(obj, inits, n_iter: int):
+    """All restarts of an L-BFGS minimization as ONE vmapped program;
+    returns (u_best, best_value) with non-finite (diverged) restarts losing.
+    Shared by fit_params and fit_params_with_noise."""
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(obj)
+
+    def run_one(u0):
+        state0 = opt.init(u0)
+
+        def step(carry, _):
+            u, st = carry
+            value, grad = value_and_grad(u, state=st)
+            updates, st = opt.update(grad, st, u, value=value, grad=grad, value_fn=obj)
+            u = optax.apply_updates(u, updates)
+            return (u, st), None
+
+        (u, _), _ = jax.lax.scan(step, (u0, state0), None, length=n_iter)
+        return u
+
+    u_final = jax.vmap(run_one)(inits)
+    vals = jax.vmap(obj)(u_final)
+    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+    best = jnp.argmin(vals)
+    return u_final[best], vals[best]
+
+
 def _objective(kfn, s, x, y, mask, jitter, free_mask=None, u_frozen=None):
     """Negative masked log-MLL as a function of u = log(theta).
 
@@ -121,31 +148,11 @@ def fit_params(
     if n_restart_inits is None:
         n_restart_inits = random_restarts(key, theta0, x, y, mask, 10, kernel=kernel)
 
-    opt = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(obj)
-
-    def run_one(u0):
-        state0 = opt.init(u0)
-
-        def step(carry, _):
-            u, st = carry
-            value, grad = value_and_grad(u, state=st)
-            updates, st = opt.update(grad, st, u, value=value, grad=grad, value_fn=obj)
-            u = optax.apply_updates(u, updates)
-            return (u, st), None
-
-        (u, _), _ = jax.lax.scan(step, (u0, state0), None, length=n_iter)
-        return u
-
-    u_final = jax.vmap(run_one)(n_restart_inits)
-    # Re-evaluate and pick the best finite restart (NaN-diverged ones lose).
-    vals = jax.vmap(obj)(u_final)
-    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
-    best = jnp.argmin(vals)
-    theta_best = jnp.exp(u_final[best])
+    u_best, val_best = _run_restarts(obj, n_restart_inits, n_iter)
+    theta_best = jnp.exp(u_best)
     if free_mask is not None:
         theta_best = jnp.where(free_mask, theta_best, theta0)  # frozen = bit-identical
-    return theta_best, -vals[best]
+    return theta_best, -val_best
 
 
 @partial(jax.jit, static_argnames=("kernel", "n_restart", "n_iter"))
@@ -199,31 +206,11 @@ def fit_params_with_noise(
     inits = jnp.concatenate([u_theta, log_s], axis=1)
     inits = inits.at[0, p].set(jnp.log(s_start))  # incumbent row
 
-    opt = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(obj)
-
-    def run_one(u0):
-        state0 = opt.init(u0)
-
-        def step(carry, _):
-            u, st = carry
-            value, grad = value_and_grad(u, state=st)
-            updates, st = opt.update(grad, st, u, value=value, grad=grad, value_fn=obj)
-            u = optax.apply_updates(u, updates)
-            return (u, st), None
-
-        (u, _), _ = jax.lax.scan(step, (u0, state0), None, length=n_iter)
-        return u
-
-    u_final = jax.vmap(run_one)(inits)
-    vals = jax.vmap(obj)(u_final)
-    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
-    best = jnp.argmin(vals)
-    u_best = u_final[best]
+    u_best, val_best = _run_restarts(obj, inits, n_iter)
     theta_best = jnp.exp(u_best[:p])
     if free_mask is not None:
         theta_best = jnp.where(free_mask, theta_best, theta0)
-    return theta_best, jnp.exp(u_best[p]), -vals[best]
+    return theta_best, jnp.exp(u_best[p]), -val_best
 
 
 @partial(jax.jit, static_argnames=("n_iter", "interpret"))

@@ -177,7 +177,7 @@ def sample_hypers(
     key,
     n: int,
     nburn: int = 10,
-    params=("h", "w"),
+    params=None,
     n_chains: int = 1,
 ):
     """Slice-sample kernel hyperparameters from MLL × weak prior
@@ -199,11 +199,8 @@ def sample_hypers(
     log-jittered copies; each chain burns ``nburn`` and contributes
     ceil(n / n_chains) draws, interleaved then truncated to ``n``.
     """
-    if params == ("h", "w"):  # default = every param of the family
-        if opts.kernel == "periodic":
-            params = ("h", "w", "p")
-        elif opts.kernel == "rq":
-            params = ("h", "w", "alpha")
+    if params is None:  # default = every param of the family (θ_tl)
+        params = tuple(sorted(_names_for(opts)))
     kfn, _ = get_kernel(opts.kernel)
     gp_tl = state.gp_log_l
     gp_l = state.gp_l

@@ -31,6 +31,9 @@ def _flat(state: bqm.BQState):
     for name, val in state._asdict().items():
         if isinstance(val, GPState):
             for sub, sval in val._asdict().items():
+                if sub == "Kinv":
+                    continue  # derivable from L on load; persisting it would
+                    # double the matrix payload of every checkpoint
                 out[f"{name}.{sub}"] = np.asarray(sval)
         else:
             out[name] = np.asarray(val)
