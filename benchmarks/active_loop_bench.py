@@ -6,6 +6,12 @@ Python; here the whole loop is one compiled ``lax.scan``
 Prints one JSON line. Uses perturbed initial states per repeat (the remote
 runtime dedupes identical dispatches).
 """
+# NOTE (round 2): numbers produced by this script's per-dispatch timing are
+# superseded — every tunneled dispatch pays a ~40-60 us enqueue floor and
+# identical dispatches can be deduped, so sub-ms programs must be timed by
+# scan-length differencing inside one jit. bench.py --all implements the
+# corrected methodology for all three headline metrics; see PARITY.md.
+
 
 import json
 import pathlib

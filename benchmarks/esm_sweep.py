@@ -11,6 +11,12 @@ caching/overlap that block_until_ready does not expose. Treat the 1e4-grid
 rows (and bench.py's headline) as the reliable figures; re-run this sweep on
 a locally attached TPU for true scaling curves.
 """
+# NOTE (round 2): numbers produced by this script's per-dispatch timing are
+# superseded — every tunneled dispatch pays a ~40-60 us enqueue floor and
+# identical dispatches can be deduped, so sub-ms programs must be timed by
+# scan-length differencing inside one jit. bench.py --all implements the
+# corrected methodology for all three headline metrics; see PARITY.md.
+
 
 import json
 import pathlib

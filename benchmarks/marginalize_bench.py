@@ -6,6 +6,12 @@ bq.py::BQ.marginalize does), on the default device. Prints one JSON line
 per variant. Not the driver headline (that is bench.py); kept for the
 perf record.
 """
+# NOTE (round 2): numbers produced by this script's per-dispatch timing are
+# superseded — every tunneled dispatch pays a ~40-60 us enqueue floor and
+# identical dispatches can be deduped, so sub-ms programs must be timed by
+# scan-length differencing inside one jit. bench.py --all implements the
+# corrected methodology for all three headline metrics; see PARITY.md.
+
 
 import json
 import pathlib
