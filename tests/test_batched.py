@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import stats
 
 import tpubq
@@ -116,3 +117,53 @@ def test_state_checkpoints_do_not_persist_kinv(tmp_path):
     )
     zm = np.asarray(bt.Z_mean_batch(loaded, opts))
     np.testing.assert_allclose(zm, np.asarray(bt.Z_mean_batch(fleet, opts)), rtol=1e-12)
+
+
+def test_bqfleet_class_surface(tmp_path):
+    """BQFleet: the user-facing fleet shell (init, estimate, choose, add,
+    loop, persist) matches the per-problem BQ results."""
+    import jax.numpy as jnp
+
+    import tpubq
+    from tests import util as tu
+
+    xs = np.stack([tu.make_x(), tu.make_x() + 0.1, tu.make_x() - 0.2])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    fleet = tpubq.BQFleet(xs, ls, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                          n_candidate=12, candidate_thresh=0.2,
+                          x_mean=None, x_var=None, max_obs=16)
+    assert len(fleet) == 3
+    zm = fleet.Z_mean()
+    assert zm.shape == (3,)
+    # per-problem parity vs the single-problem class
+    bq0 = tpubq.BQ(xs[0], ls[0], n_candidate=12, candidate_thresh=0.2,
+                   x_mean=0.0, x_var=1.0, max_obs=16)
+    bq0.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    np.testing.assert_allclose(zm[0], bq0.Z_mean(), rtol=1e-10)
+
+    grid = np.linspace(-4, 4, 51)
+    x_next = fleet.choose_next(grid)
+    assert x_next.shape == (3, 1)
+    l_next = tu.f_l(x_next[:, 0])
+    fleet.add_observation(x_next, l_next)
+    assert np.all(fleet.ns == 11)
+    with pytest.raises(ValueError):
+        fleet.add_observation(x_next + 0.01, -l_next)  # negative l rejected
+
+    def loglik(x):
+        return jnp.exp(-0.5 * (x[0] - tu.MU_L) ** 2 / tu.SIG_L**2) / jnp.sqrt(
+            2 * jnp.pi * tu.SIG_L**2
+        )
+
+    zms, zvs = fleet.run_active_loop(loglik, jnp.asarray(grid)[:, None], 2)
+    assert zms.shape == (2, 3) and np.all(np.isfinite(zms))
+    assert np.all(fleet.ns == 13)
+
+    path = tmp_path / "fleet_cls.npz"
+    fleet.save(path)
+    f2 = tpubq.BQFleet.load(path)
+    np.testing.assert_allclose(f2.Z_mean(), fleet.Z_mean(), rtol=1e-12)
+    # single-problem extraction pairs with the options
+    from tpubq.models import bq as bqm
+    st0 = fleet.problem(0)
+    assert np.isfinite(float(bqm.Z_mean(st0, fleet.options)))

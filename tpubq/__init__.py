@@ -37,12 +37,16 @@ if not _os.environ.get("TPUBQ_NO_GLOBAL_CONFIG"):
 from tpubq.utils.options import BQOptions
 
 __version__ = "0.1.0"
-__all__ = ["BQ", "BQOptions", "__version__"]
+__all__ = ["BQ", "BQFleet", "BQOptions", "__version__"]
 
 
 def __getattr__(name):
     # Lazy: the BQ class pulls in fit/acquire/marginalize; keep `import tpubq`
     # light so ops-only users (and the Pallas kernels) import fast.
+    if name == "BQFleet":
+        from tpubq.models.batched import BQFleet
+
+        return BQFleet
     if name == "BQ":
         from tpubq.models.api import BQ
 

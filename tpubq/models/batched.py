@@ -24,6 +24,7 @@ from tpubq.models.bq import BQState, _fit_gps
 from tpubq.utils.options import BQOptions
 
 __all__ = [
+    "BQFleet",
     "init_batch",
     "Z_mean_batch",
     "Z_var_batch",
@@ -169,3 +170,119 @@ def run_active_loop_batch(states: BQState, opts: BQOptions, loglik_fn, grid, n_s
         return sts, (Z_mean_batch(sts, opts), Z_var_batch(sts, opts))
 
     return jax.lax.scan(step, states, None, length=n_steps)
+
+
+class BQFleet:
+    """User-facing fleet: B independent BQ problems advanced in one dispatch.
+
+    The stateful convenience shell over this module's functional API (as
+    ``tpubq.BQ`` is over the single-problem core) — the production serving
+    shape the reference cannot express. All problems share one ``BQOptions``
+    (static shapes); data, measures, and hyperparameters vary per problem.
+
+    Example:
+        fleet = BQFleet(xs, ls, n_candidate=12, candidate_thresh=0.2)
+        zm, zv = fleet.Z_mean(), fleet.Z_var()        # (B,), (B,)
+        x_next = fleet.choose_next(grid)              # (B, d)
+        fleet.add_observation(x_next, l_next)         # one dispatch
+        fleet.save("fleet.npz"); fleet2 = BQFleet.load("fleet.npz")
+    """
+
+    def __init__(self, xs, ls, params_tl=None, params_l=None, **options):
+        from tpubq.utils.options import FIELD_NAMES as _KEYS
+
+        xs = np.asarray(xs)
+        x_means = options.pop("x_mean", None)
+        x_vars = options.pop("x_var", None)
+        gamma = options.pop("gamma", 1.0)
+        s_tl = float(options.pop("s", options.pop("s_tl", 0.0)))
+        s_l = float(options.pop("s_l", s_tl))
+        opt_kwargs = {k: options.pop(k) for k in list(options) if k in _KEYS}
+        if options:
+            raise ValueError(f"unknown options: {sorted(options)}")
+        opt_kwargs.setdefault("dim", xs.shape[2] if xs.ndim == 3 else 1)
+        opt_kwargs.setdefault("max_obs", max(2 * xs.shape[1], 32))
+        self.options = BQOptions(**opt_kwargs)
+        self._states = init_batch(
+            xs, ls, self.options, params_tl=params_tl, params_l=params_l,
+            s_tl=s_tl, s_l=s_l, gamma=gamma, x_means=x_means, x_vars=x_vars,
+        )
+
+    # -- construction from existing states ----------------------------------
+    @classmethod
+    def from_states(cls, states: BQState, opts: BQOptions) -> "BQFleet":
+        obj = object.__new__(cls)
+        obj.options = opts
+        obj._states = states
+        return obj
+
+    @property
+    def states(self) -> BQState:
+        return self._states
+
+    def __len__(self) -> int:
+        return _batch_size(self._states)
+
+    @property
+    def ns(self) -> np.ndarray:
+        return np.asarray(self._states.ns)
+
+    def problem(self, i: int):
+        """Extract problem ``i`` as a standalone single-problem state view
+        (pair it with ``self.options`` for any tpubq.models function)."""
+        return jax.tree.map(lambda a: a[i], self._states)
+
+    # -- estimation -----------------------------------------------------------
+    def Z_mean(self) -> np.ndarray:
+        return np.asarray(Z_mean_batch(self._states, self.options))
+
+    def Z_var(self) -> np.ndarray:
+        return np.asarray(Z_var_batch(self._states, self.options))
+
+    def expected_squared_mean(self, grid, per_problem: bool = False) -> np.ndarray:
+        return np.asarray(
+            expected_squared_mean_batch(self._states, self.options, grid, per_problem)
+        )
+
+    # -- active sampling -------------------------------------------------------
+    def choose_next(self, grid) -> np.ndarray:
+        x_next, _ = choose_next_batch(self._states, self.options, grid)
+        return np.asarray(x_next)
+
+    def add_observation(self, x_next, l_next) -> "BQFleet":
+        l_next = np.asarray(l_next)
+        if np.any(~np.isfinite(l_next)) or np.any(l_next <= 0):
+            raise ValueError("l must be finite and positive")
+        if np.any(self.ns >= self.options.max_obs):
+            raise ValueError(
+                f"a fleet member is at capacity (max_obs={self.options.max_obs}); "
+                "rebuild the fleet with a larger max_obs"
+            )
+        self._states = add_observation_batch(
+            self._states, self.options, x_next, l_next
+        )
+        return self
+
+    def run_active_loop(self, loglik_fn, grid, n_steps: int):
+        """Advance every problem ``n_steps`` (one compiled scan); returns the
+        per-step (Z_mean, Z_var) histories, each (n_steps, B)."""
+        self._states, (zms, zvs) = run_active_loop_batch(
+            self._states, self.options, loglik_fn, grid, n_steps
+        )
+        return np.asarray(zms), np.asarray(zvs)
+
+    # -- persistence ------------------------------------------------------------
+    def save(self, path, force: bool = False):
+        from tpubq.utils.io import save_state
+
+        save_state(path, self._states, self.options, force=force)
+
+    @classmethod
+    def load(cls, path, refit: bool = False) -> "BQFleet":
+        from tpubq.utils.io import load_state
+
+        states, opts = load_state(path, refit=refit)
+        return cls.from_states(states, opts)
+
+    def __repr__(self):
+        return f"BQFleet(B={len(self)}, ns={self.ns.tolist()}, options={self.options})"
