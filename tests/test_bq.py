@@ -653,3 +653,48 @@ def test_2d_candidates_fill_the_box():
         np.max(np.abs(live[:, None, :] - np.asarray(X)[None, :, :]), axis=-1), axis=1
     )
     assert np.all(dmin >= opts.candidate_thresh)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_general_d_Z_mean_closed_form_vs_gh_twin(d):
+    """The general-d closed-form E[Z] equals Gauss–Hermite integration of the
+    actual linear-GP posterior mean over the measure — the exact-vs-approx
+    duality pattern, extended beyond the reference's 1-D twins."""
+    import jax.numpy as jnp
+    from scipy import stats
+
+    from tpubq.models import bq as bqm, gp as gpm
+    from tpubq.models.bq import _gh_nodes
+    from tpubq.ops.kernels import get_kernel
+    from tpubq.utils.options import BQOptions
+
+    rng = np.random.RandomState(d)
+    X = rng.uniform(-2, 2, (24, d))
+    mu_l = np.linspace(0.2, -0.1, d)
+    L = stats.multivariate_normal.pdf(X, mu_l, np.eye(d) * 0.4)
+    # correlated measure to exercise the full-Sigma algebra
+    A = rng.randn(d, d) * 0.15
+    Sig = np.eye(d) + A @ A.T
+    opts = BQOptions(dim=d, n_candidate=8, candidate_thresh=0.3, max_obs=32,
+                     n_gh=6000 if d == 3 else 3000)
+    st = bqm.init_state(X, L, opts, params_tl=(0.5,) + (0.9,) * d,
+                        params_l=(0.2,) + (0.6,) * d,
+                        x_mean=np.zeros(d), x_var=Sig)
+    exact = float(bqm.Z_mean(st, opts))
+    kfn, _ = get_kernel(opts.kernel)
+    nodes, w = _gh_nodes(st, opts)
+    approx = float(gpm.gp_mean(kfn, st.gp_l, nodes) @ w)
+    assert abs(exact - approx) / abs(exact) < 5e-4
+
+
+def test_plotting_raises_for_multidim():
+    import tpubq
+    from scipy import stats
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-2, 2, (12, 2))
+    L = stats.multivariate_normal.pdf(X, np.zeros(2), np.eye(2) * 0.4)
+    bq = tpubq.BQ(X, L, dim=2, n_candidate=6, candidate_thresh=0.25, max_obs=16)
+    bq.init()
+    with pytest.raises(ValueError, match="1-D"):
+        bq.plot_gp_l()

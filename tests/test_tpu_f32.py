@@ -225,3 +225,18 @@ def test_extra_kernels_f32():
         bq.init(params_tl=params, params_l=params)
         assert abs(bq.Z_mean() - tu.true_Z()) / tu.true_Z() < 0.15
         assert bq.Z_var() >= 0.0
+
+
+def test_bqfleet_class_f32():
+    import tpubq
+
+    xs = np.stack([tu.make_x() + 0.05 * i for i in range(3)])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    fleet = tpubq.BQFleet(xs, ls, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                          n_candidate=12, candidate_thresh=0.2,
+                          dtype="float32", max_obs=16)
+    zm = fleet.Z_mean()
+    assert zm.shape == (3,) and np.all(np.isfinite(zm))
+    xn = fleet.choose_next(np.linspace(-4, 4, 51).astype(np.float32))
+    fleet.add_observation(xn, tu.f_l(xn[:, 0]))
+    assert np.all(fleet.ns == 11)

@@ -21,6 +21,12 @@ def _ax(ax):
 
 
 def _grid(bq, xmin, xmax, n=400):
+    if bq.options.dim != 1:
+        raise ValueError(
+            "plot_* diagnostics are 1-D (reference parity: the upstream "
+            "library is 1-D); for d > 1 evaluate the posteriors on your own "
+            "slice/projection via tpubq.models.gp.gp_mean/gp_var"
+        )
     xs = bq.x_s[:, 0]
     lo = float(xs.min()) if xmin is None else xmin
     hi = float(xs.max()) if xmax is None else xmax
