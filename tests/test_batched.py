@@ -167,3 +167,44 @@ def test_bqfleet_class_surface(tmp_path):
     from tpubq.models import bq as bqm
     st0 = fleet.problem(0)
     assert np.isfinite(float(bqm.Z_mean(st0, fleet.options)))
+
+
+def test_bqfleet_guard_rails(tmp_path):
+    """Review fixes: capacity-guarded loop, duplicate rejection, shared-
+    measure broadcasting, and single-state checkpoint rejection."""
+    import jax.numpy as jnp
+
+    import tpubq
+    from tests import util as tu
+    from tpubq.utils import io as tio
+
+    xs = np.stack([tu.make_x(), tu.make_x() + 0.1])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    # BQ-style shared scalar measure kwargs broadcast (previously a reshape error)
+    fleet = tpubq.BQFleet(xs, ls, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                          n_candidate=12, candidate_thresh=0.2,
+                          x_mean=0.0, x_var=1.0, max_obs=12)
+    assert np.all(np.isfinite(fleet.Z_mean()))
+
+    # duplicate locations rejected (reference parity with BQ)
+    with pytest.raises(ValueError, match="duplicate"):
+        fleet.add_observation(xs[:, :1], ls[:, 0])
+
+    # loop overrunning capacity raises instead of silently overwriting
+    def loglik(x):
+        return jnp.exp(-0.5 * (x[0] - tu.MU_L) ** 2 / tu.SIG_L**2) / jnp.sqrt(
+            2 * jnp.pi * tu.SIG_L**2
+        )
+
+    grid = jnp.asarray(np.linspace(-4, 4, 31))[:, None]
+    with pytest.raises(ValueError, match="max_obs"):
+        fleet.run_active_loop(loglik, grid, 5)  # ns=10, max_obs=12
+    fleet.run_active_loop(loglik, grid, 2)  # exactly fits
+    assert np.all(fleet.ns == 12)
+
+    # single-problem checkpoints are rejected with a clear message
+    single = fleet.problem(0)
+    p = tmp_path / "single.npz"
+    tio.save_state(p, single, fleet.options)
+    with pytest.raises(ValueError, match="BATCHED"):
+        tpubq.BQFleet.load(p)

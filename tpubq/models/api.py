@@ -60,17 +60,10 @@ class BQ:
         if x.shape[0] != l.shape[0]:
             raise ValueError("x and l must have matching leading dimension")
 
-        self._x_mean0 = options.pop("x_mean", 0.0)
-        self._x_var0 = options.pop("x_var", 1.0)
-        self._gamma0 = float(options.pop("gamma", 1.0))
-        self.s_tl = float(options.pop("s", options.pop("s_tl", 0.0)))
-        self.s_l = float(options.pop("s_l", self.s_tl))
-        opt_kwargs = {k: options.pop(k) for k in list(options) if k in _OPTION_KEYS}
-        if options:
-            raise ValueError(f"unknown options: {sorted(options)}")
-        opt_kwargs.setdefault("dim", x.shape[1])
-        opt_kwargs.setdefault("max_obs", max(2 * x.shape[0], 32))
-        self.options = BQOptions(**opt_kwargs)
+        from tpubq.utils.options import parse_bq_kwargs
+
+        (self.options, self._x_mean0, self._x_var0, self._gamma0,
+         self.s_tl, self.s_l) = parse_bq_kwargs(options, x.shape[1], x.shape[0])
 
         self._x0 = x
         self._l0 = l

@@ -75,11 +75,27 @@ def init_batch(
     for name, p in (("params_tl", params_tl), ("params_l", params_l)):
         validate_theta(np.zeros(np.asarray(p, dtype).shape[-1]), opts, name)
 
+    # measures broadcast like hyperparameters: scalar / (d,) / (d, d) are
+    # shared across the fleet; (B, d) / (B, d, d) are per-problem
     if x_means is None:
         x_means = np.zeros((B, d), dtype)
+    else:
+        x_means = np.asarray(x_means, dtype)
+        if x_means.ndim <= 1:
+            x_means = np.broadcast_to(x_means.reshape(-1), (d,))
+        if x_means.ndim == 1:
+            x_means = np.broadcast_to(x_means, (B, d))
+    x_means = np.asarray(x_means, dtype).reshape(B, d)
     if x_vars is None:
         x_vars = np.tile(np.eye(d, dtype=dtype)[None], (B, 1, 1))
-    x_means = np.asarray(x_means, dtype).reshape(B, d)
+    else:
+        x_vars = np.asarray(x_vars, dtype)
+        if x_vars.ndim == 0:
+            x_vars = np.eye(d, dtype=dtype) * x_vars
+        elif x_vars.ndim == 1:
+            x_vars = np.diag(x_vars.astype(dtype))
+        if x_vars.ndim == 2:
+            x_vars = np.broadcast_to(x_vars, (B, d, d))
     x_vars = np.asarray(x_vars, dtype).reshape(B, d, d)
 
     def _per_problem(params):
@@ -189,20 +205,13 @@ class BQFleet:
     """
 
     def __init__(self, xs, ls, params_tl=None, params_l=None, **options):
-        from tpubq.utils.options import FIELD_NAMES as _KEYS
+        from tpubq.utils.options import parse_bq_kwargs
 
         xs = np.asarray(xs)
-        x_means = options.pop("x_mean", None)
-        x_vars = options.pop("x_var", None)
-        gamma = options.pop("gamma", 1.0)
-        s_tl = float(options.pop("s", options.pop("s_tl", 0.0)))
-        s_l = float(options.pop("s_l", s_tl))
-        opt_kwargs = {k: options.pop(k) for k in list(options) if k in _KEYS}
-        if options:
-            raise ValueError(f"unknown options: {sorted(options)}")
-        opt_kwargs.setdefault("dim", xs.shape[2] if xs.ndim == 3 else 1)
-        opt_kwargs.setdefault("max_obs", max(2 * xs.shape[1], 32))
-        self.options = BQOptions(**opt_kwargs)
+        opts, x_means, x_vars, gamma, s_tl, s_l = parse_bq_kwargs(
+            options, xs.shape[2] if xs.ndim == 3 else 1, xs.shape[1]
+        )
+        self.options = opts
         self._states = init_batch(
             xs, ls, self.options, params_tl=params_tl, params_l=params_l,
             s_tl=s_tl, s_l=s_l, gamma=gamma, x_means=x_means, x_vars=x_vars,
@@ -211,6 +220,13 @@ class BQFleet:
     # -- construction from existing states ----------------------------------
     @classmethod
     def from_states(cls, states: BQState, opts: BQOptions) -> "BQFleet":
+        if states.ns.ndim != 1:
+            raise ValueError(
+                "BQFleet needs a BATCHED state (every leaf with a leading "
+                "problem axis); this looks like a single-problem state — use "
+                "tpubq.BQ / tpubq.models functions for those, or stack "
+                "states with jax.tree.map"
+            )
         obj = object.__new__(cls)
         obj.options = opts
         obj._states = states
@@ -258,14 +274,30 @@ class BQFleet:
                 f"a fleet member is at capacity (max_obs={self.options.max_obs}); "
                 "rebuild the fleet with a larger max_obs"
             )
+        # duplicate-location rejection, per problem (reference parity with
+        # BQ.add_observation — duplicates make the Gram singular-up-to-jitter)
+        x_arr = np.asarray(x_next, self.options.np_dtype).reshape(
+            (len(self), self.options.dim)
+        )
+        xs = np.asarray(self._states.x_s)  # (B, max_obs, d)
+        mask = np.asarray(self._states.obs_mask)  # (B, max_obs)
+        dist = np.max(np.abs(xs - x_arr[:, None, :]), axis=-1)  # (B, max_obs)
+        if np.any(np.where(mask, dist, np.inf).min(axis=1) < 1e-10):
+            raise ValueError("duplicate observation location in the fleet")
         self._states = add_observation_batch(
-            self._states, self.options, x_next, l_next
+            self._states, self.options, x_arr, l_next
         )
         return self
 
     def run_active_loop(self, loglik_fn, grid, n_steps: int):
         """Advance every problem ``n_steps`` (one compiled scan); returns the
         per-step (Z_mean, Z_var) histories, each (n_steps, B)."""
+        if np.any(self.ns + n_steps > self.options.max_obs):
+            raise ValueError(
+                f"{n_steps} steps would exceed max_obs="
+                f"{self.options.max_obs} for a fleet member (ns="
+                f"{self.ns.tolist()}); rebuild the fleet with a larger max_obs"
+            )
         self._states, (zms, zvs) = run_active_loop_batch(
             self._states, self.options, loglik_fn, grid, n_steps
         )

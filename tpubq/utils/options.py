@@ -98,3 +98,24 @@ class BQOptions:
     def max_nsc(self) -> int:
         """Static capacity of the combined obs ∪ candidate set."""
         return self.max_obs + self.n_candidate
+
+
+def parse_bq_kwargs(options: dict, dim_default: int, n_obs: int):
+    """Shared constructor-kwargs parsing for BQ and BQFleet.
+
+    Splits the reference-style flat ``**options`` into
+    (BQOptions, x_mean, x_var, gamma, s_tl, s_l); unknown keys raise. Both
+    wrappers must accept the identical vocabulary — this is the single
+    source of truth for it.
+    """
+    x_mean = options.pop("x_mean", None)
+    x_var = options.pop("x_var", None)
+    gamma = float(options.pop("gamma", 1.0))
+    s_tl = float(options.pop("s", options.pop("s_tl", 0.0)))
+    s_l = float(options.pop("s_l", s_tl))
+    opt_kwargs = {k: options.pop(k) for k in list(options) if k in FIELD_NAMES}
+    if options:
+        raise ValueError(f"unknown options: {sorted(options)}")
+    opt_kwargs.setdefault("dim", dim_default)
+    opt_kwargs.setdefault("max_obs", max(2 * n_obs, 32))
+    return BQOptions(**opt_kwargs), x_mean, x_var, gamma, s_tl, s_l
