@@ -21,3 +21,19 @@ def test_active_sampling_example():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "true Z" in r.stdout and "marginalized" in r.stdout
+
+
+def test_fleet_serving_example():
+    """The fleet example runs end-to-end (CPU f64)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "examples/fleet_serving.py", "--problems", "4",
+         "--steps", "2", "--dtype", "float64"],
+        capture_output=True, text=True, cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": str(__import__("pathlib").Path(__file__).resolve().parents[1])},
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "done:" in out.stdout
