@@ -144,8 +144,9 @@ def _tpubq_throughput():
 
     platform = jax.devices()[0].platform
     dtype = "float32" if platform != "cpu" else "float64"
-    # use_pallas routes scoring through the fused VMEM kernel on TPU (the
-    # faster path at every measured grid size); XLA path used off-TPU.
+    # NOTE: scoring always dispatches to the XLA path (measured faster than
+    # the fused Pallas scorer once K⁻¹ is cached — PARITY.md); use_pallas
+    # only affects the hyperparameter-fit path, irrelevant here.
     opts = BQOptions(
         n_candidate=12, candidate_thresh=0.2, max_obs=16, dtype=dtype,
         use_pallas=(platform == "tpu"),

@@ -217,3 +217,36 @@ def test_periodic_kernel_eval():
 def test_get_kernel_unknown():
     with pytest.raises(ValueError):
         get_kernel("matern")
+
+
+def test_jitter_ladder_f32_unrolled():
+    """The float32 ladder (unrolled rungs, no control flow — see
+    linalg.jitter_cholesky) keeps both behaviors of the f64 while-ladder:
+    a well-conditioned Gram factors at the base rung with (near-)zero
+    jitter, and a singular one is rescued at a positive rung."""
+    x32 = jnp.asarray(np.array([[0.0], [0.9], [2.0]]), jnp.float32)
+    K = gaussian_K(jnp.asarray([1.0, 1.0], jnp.float32), x32, x32)
+    mask = jnp.ones(3, bool)
+    L, jit_used, ok = linalg.jitter_cholesky(K, mask)
+    assert L.dtype == jnp.float32
+    assert bool(ok)
+    assert float(jit_used) == 0.0  # base rung, no base_jitter passed
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K, np.float64)),
+        rtol=2e-5,
+    )
+
+    # duplicate point -> singular Gram -> a positive rung must rescue it
+    x_dup = jnp.asarray(np.array([[0.0], [0.0], [1.0]]), jnp.float32)
+    K_bad = gaussian_K(jnp.asarray([1.0, 1.0], jnp.float32), x_dup, x_dup)
+    assert not np.all(np.isfinite(np.asarray(jnp.linalg.cholesky(K_bad))))
+    L2, jit2, ok2 = linalg.jitter_cholesky(K_bad, mask)
+    assert bool(ok2)
+    assert np.all(np.isfinite(np.asarray(L2)))
+    assert float(jit2) > 0
+    # reconstruction: L2 L2^T == K_bad + jit2 * I (to f32 precision)
+    np.testing.assert_allclose(
+        np.asarray(L2 @ L2.T),
+        np.asarray(K_bad) + float(jit2) * np.eye(3, dtype=np.float32),
+        atol=1e-5,
+    )

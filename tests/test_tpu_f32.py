@@ -240,3 +240,30 @@ def test_bqfleet_class_f32():
     xn = fleet.choose_next(np.linspace(-4, 4, 51).astype(np.float32))
     fleet.add_observation(xn, tu.f_l(xn[:, 0]))
     assert np.all(fleet.ns == 11)
+
+
+def test_incremental_loop_f32():
+    """Incremental (bordering/Woodbury) active loop in float32: finite, grows
+    state, and tracks the full-refit loop within f32 drift tolerance (the
+    periodic refresh bounds accumulation; see models/incremental.py)."""
+    import jax.numpy as jnp
+
+    from tpubq.models import acquire
+
+    bq = _make_bq_f32(max_obs=32)
+    grid = jnp.asarray(np.linspace(-4, 4, 101), jnp.float32)[:, None]
+
+    def loglik(x):
+        s2 = tu.SIG_L**2
+        return jnp.exp(-0.5 * (x[0] - tu.MU_L) ** 2 / s2) / jnp.sqrt(2 * jnp.pi * s2)
+
+    st_inc, (xs_i, zm_i, zv_i) = acquire.run_active_loop(
+        bq.state, bq.options, loglik, grid, 6, incremental=True, refresh_every=4
+    )
+    st_full, (xs_f, zm_f, zv_f) = acquire.run_active_loop(
+        bq.state, bq.options, loglik, grid, 6, incremental=False
+    )
+    assert int(st_inc.ns) == bq.ns + 6
+    assert np.all(np.isfinite(np.asarray(zm_i)))
+    np.testing.assert_allclose(np.asarray(zm_i), np.asarray(zm_f), rtol=1e-3)
+    assert abs(float(zm_i[-1]) - tu.true_Z()) / tu.true_Z() < 0.05

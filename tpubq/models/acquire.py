@@ -395,10 +395,13 @@ def add_observation(state: BQState, opts: BQOptions, x_a, l_a) -> BQState:
     return _fit_gps(st, opts, ladder=True)
 
 
-@partial(jax.jit, static_argnames=("opts", "loglik_fn", "n_steps"))
+@partial(
+    jax.jit,
+    static_argnames=("opts", "loglik_fn", "n_steps", "incremental", "refresh_every"),
+)
 def run_active_loop(
     state: BQState, opts: BQOptions, loglik_fn, x_grid, n_steps: int,
-    hyper_samples=None,
+    hyper_samples=None, incremental: bool = False, refresh_every: int = 16,
 ):
     """Closed active-sampling loop as ``lax.scan`` (the reference's outer
     choose → evaluate → add loop, bq.py usage pattern; here the likelihood
@@ -407,12 +410,26 @@ def run_active_loop(
     ``hyper_samples``: optional (n, p) θ_tl draws — each step's acquisition
     is then marginalized over them (the reference's ``choose_next(x, n)``
     inside its loop). Returns (final_state, per-step (x_next, Z_mean, Z_var)).
+
+    ``incremental=True`` grows the GPs with the exact bordering /
+    block-Woodbury updates of ``tpubq.models.incremental`` instead of the
+    full per-step refit. OFF by default — measured on v5e (f32, max_obs=64,
+    40-step loops, RTT-amortized): full refit 136 µs/step vs incremental
+    152 µs/step. The step is dispatch-latency-bound, not FLOP-bound, and the
+    incremental path's longer op chain + ``lax.cond`` sync outweigh the
+    O(N³)→O(N²) FLOP saving at reference problem sizes; the crossover is at
+    much larger max_obs (where the multi-RHS K⁻¹ solve dominates). Same
+    measured-dispatch story as the Pallas kernels — see PARITY.md.
     """
+    from tpubq.models.incremental import add_observation_fast
 
     def step(st, _):
         x_next, _scores = choose_next(st, opts, x_grid, hyper_samples)
         l_next = loglik_fn(x_next)
-        st = add_observation(st, opts, x_next, l_next)
+        if incremental:
+            st = add_observation_fast(st, opts, x_next, l_next, refresh_every)
+        else:
+            st = add_observation(st, opts, x_next, l_next)
         return st, (x_next, Z_mean(st, opts), Z_var(st, opts))
 
     return jax.lax.scan(step, state, None, length=n_steps)

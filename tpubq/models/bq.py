@@ -491,6 +491,10 @@ def Z_var_gh(state: BQState, opts: BQOptions) -> jnp.ndarray:
     kfn, _ = get_kernel(opts.kernel)
     nodes, w = _gh_nodes(state, opts)
     m_l = gpm.gp_mean(kfn, state.gp_l, nodes) + state.gamma
+    # NOT via_kinv even in f32: the posterior covariance is a near-total
+    # cancellation (Koo − KoxK⁻¹Koxᵀ → ~0 near observations); the explicit
+    # inverse loses it entirely in f32 (measured: V[Z] clamps to 0), while
+    # the Cholesky solve form keeps ~1e-3 relative accuracy.
     C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)
     a = w * m_l
     return jnp.maximum(a @ (C_tl @ a), 0.0)
@@ -527,6 +531,10 @@ def Z_var_qmc(state: BQState, opts: BQOptions) -> jnp.ndarray:
     kfn, _ = get_kernel(opts.kernel)
     nodes, w = _qmc_nodes(state, opts, opts.n_qmc)
     m_l = gpm.gp_mean(kfn, state.gp_l, nodes) + state.gamma
+    # NOT via_kinv even in f32: the posterior covariance is a near-total
+    # cancellation (Koo − KoxK⁻¹Koxᵀ → ~0 near observations); the explicit
+    # inverse loses it entirely in f32 (measured: V[Z] clamps to 0), while
+    # the Cholesky solve form keeps ~1e-3 relative accuracy.
     C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)
     a = w * m_l
     return jnp.maximum(a @ (C_tl @ a), 0.0)

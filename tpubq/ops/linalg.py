@@ -73,19 +73,54 @@ def cholesky_fixed(K: jnp.ndarray, mask: jnp.ndarray, jitter: float = 1e-12):
     return jnp.linalg.cholesky(Kp)
 
 
+#: Float32 ladder rungs (relative to the mean live diagonal). f32 resolves
+#: ~1.2e-7 relative, so the f64 ladder's 1e-12..1e-8 rungs literally round
+#: away when added to an f32 Gram — only rungs ≥ ~1e-6 change the matrix.
+#: Three effective rungs, unrolled (see jitter_cholesky).
+JITTER_LADDER_F32 = (0.0, 1e-6, 1e-2)
+
+
 def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0):
     """Masked Cholesky with an escalating jitter ladder.
 
-    Returns ``(L, jitter_used, ok)``. Escalates through ``JITTER_LADDER``
-    (relative to the mean live diagonal) until the factor is finite. Not
-    reverse-differentiable (uses ``lax.while_loop``); use ``cholesky_fixed``
-    under ``jax.grad``. Functional analogue of
-    bq_c.pyx::improve_covariance_conditioning.
+    Returns ``(L, jitter_used, ok)``: the factor at the first finite rung
+    (rungs are relative to the mean live diagonal), the jitter applied, and
+    whether any rung succeeded. Functional analogue of
+    bq_c.pyx::improve_covariance_conditioning. Not reverse-differentiable;
+    use ``cholesky_fixed`` under ``jax.grad``.
+
+    Two implementations, dispatched on dtype (TPU latency measurement,
+    v5e active-loop refit at N=64, see PARITY.md):
+
+    * float64 — ``lax.while_loop`` over the fine 7-rung ladder (CPU parity
+      path; early exit costs nothing on CPU).
+    * float32 — the TPU hot path. Any per-step control flow (while_loop OR
+      cond) costs ~90 µs of pipeline stall per refit, dwarfing the 5 µs
+      factorization, so the ladder is *unrolled*: every effective rung is
+      factored unconditionally (~12 µs each, they overlap) and the first
+      finite factor is selected with data-flow ``where``s. The f64 ladder's
+      sub-1e-7 rungs are no-ops in f32 arithmetic (they round away against
+      the diagonal), so only ``JITTER_LADDER_F32``'s three rungs exist.
     """
     dtype = K.dtype
     scale = _diag_scale(K, mask)
     Kp = pad_gram(K, mask)
     eye_live = jnp.eye(K.shape[0], dtype=dtype) * mask.astype(dtype)
+
+    if dtype == jnp.float32:
+        L, jit_used, ok = None, None, None
+        for r in reversed(JITTER_LADDER_F32):
+            j = (jnp.asarray(r, dtype) + jnp.asarray(base_jitter, dtype)) * scale
+            Li = jnp.linalg.cholesky(Kp + eye_live * j)
+            oki = jnp.all(jnp.isfinite(Li))
+            if L is None:  # coarsest rung seeds the fold
+                L, jit_used, ok = Li, j, oki
+            else:  # finer rung wins whenever it is finite
+                L = jnp.where(oki, Li, L)
+                jit_used = jnp.where(oki, j, jit_used)
+                ok = jnp.logical_or(oki, ok)
+        return L, jit_used, ok
+
     ladder = jnp.asarray(JITTER_LADDER, dtype=dtype) + jnp.asarray(base_jitter, dtype)
 
     def attempt(i):
