@@ -73,11 +73,16 @@ def cholesky_fixed(K: jnp.ndarray, mask: jnp.ndarray, jitter: float = 1e-12):
     return jnp.linalg.cholesky(Kp)
 
 
-#: Float32 ladder rungs (relative to the mean live diagonal). f32 resolves
-#: ~1.2e-7 relative, so the f64 ladder's 1e-12..1e-8 rungs literally round
-#: away when added to an f32 Gram — only rungs ≥ ~1e-6 change the matrix.
-#: Three effective rungs, unrolled (see jitter_cholesky).
-JITTER_LADDER_F32 = (0.0, 1e-6, 1e-2)
+#: Float32 ladder rungs (relative to the mean live diagonal). Two rungs
+#: suffice in f32, by construction: (a) rungs below ~1e-6 round away when
+#: added to an f32 diagonal (eps ≈ 1.2e-7), and (b) the kernel Gram is PSD,
+#: so K + 1e-4·scale·I has λ_min ≥ 1e-4·scale — an order of magnitude above
+#: the ~N·eps·scale level where f32 Cholesky starts failing (N ≤ ~1000).
+#: Only non-finite inputs can fail both rungs, and those must report
+#: ok=False, not get more jitter. Fewer rungs matter twice: each rung is a
+#: serial ~12 µs on the single-problem critical path, and under vmap each
+#: rung is a whole batched Cholesky (the fleet paths).
+JITTER_LADDER_F32 = (0.0, 1e-4)
 
 
 def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0):
@@ -98,9 +103,11 @@ def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0)
       cond) costs ~90 µs of pipeline stall per refit, dwarfing the 5 µs
       factorization, so the ladder is *unrolled*: every effective rung is
       factored unconditionally (~12 µs each, they overlap) and the first
-      finite factor is selected with data-flow ``where``s. The f64 ladder's
-      sub-1e-7 rungs are no-ops in f32 arithmetic (they round away against
-      the diagonal), so only ``JITTER_LADDER_F32``'s three rungs exist.
+      finite factor is selected with data-flow ``where``s. Two rungs cover
+      f32 exactly — see ``JITTER_LADDER_F32``. This also fixes the vmapped
+      (fleet/marginalize) paths, where a vmapped ``while_loop`` runs in
+      batch lock-step: one escalating element forces a full extra batched
+      Cholesky round on everyone.
     """
     dtype = K.dtype
     scale = _diag_scale(K, mask)
