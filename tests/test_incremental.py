@@ -128,11 +128,36 @@ def test_incremental_fallback_near_duplicate_location():
 
 
 def test_incremental_refresh_cadence_forces_full():
-    """ns hitting the refresh cadence routes through the full refit."""
+    """ns hitting the refresh cadence routes through the full-refit branch.
+
+    The fast path is exact, so the branch choice is invisible in the output
+    values; instead the fallback (``_fit_gps``) is wrapped with a sentinel
+    that stamps ``gamma`` — under ``lax.cond`` both branches trace, but only
+    the selected branch's value comes out, so the stamp appears iff the full
+    branch actually executed."""
+    from tpubq.models import incremental as incm
+
     bq = tu.make_bq()  # ns = 10
     st, opts = bq.state, bq.options
     x_a, l_a = jnp.asarray([0.55]), float(tu.f_l(0.55))
-    fast = add_observation_fast(st, opts, x_a, l_a, refresh_every=11)  # 11 % 11 == 0
+
+    real_fit = incm._fit_gps
+    SENTINEL = 123.0
+
+    def stamped(state, o, ladder=True):
+        out = real_fit(state, o, ladder)
+        return out._replace(gamma=out.gamma + SENTINEL)
+
+    incm._fit_gps = stamped
+    try:
+        on_cadence = add_observation_fast(st, opts, x_a, l_a, refresh_every=11)
+        off_cadence = add_observation_fast(st, opts, x_a, l_a, refresh_every=16)
+    finally:
+        incm._fit_gps = real_fit
+    assert float(on_cadence.gamma) > SENTINEL  # 11 % 11 == 0 → full refit ran
+    assert float(off_cadence.gamma) < SENTINEL  # fast path selected
+    # and the (unstamped) full-cadence state matches the reference transition
+    fast = add_observation_fast(st, opts, x_a, l_a, refresh_every=11)
     full = acquire.add_observation(st, opts, x_a, l_a)
     _assert_states_close(fast, full)
 

@@ -89,6 +89,22 @@ def inv_log_transform(tl: jnp.ndarray, gamma) -> jnp.ndarray:
     return gamma * jnp.expm1(tl)
 
 
+def live_bounds(x_s, obs_mask):
+    """Per-dimension (lo, hi) bounding box of the LIVE observations.
+
+    Single source of truth for the candidate-grid span: choose_candidates
+    anchors candidate positions to it, and incremental.add_observation_fast
+    uses it to decide whether a new point moves those positions (its
+    exactness argument assumes candidate positions are a pure function of
+    this box — keep both callers on this helper).
+    """
+    dtype = x_s.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    lo = jnp.min(jnp.where(obs_mask[:, None], x_s, big), axis=0)  # (d,)
+    hi = jnp.max(jnp.where(obs_mask[:, None], x_s, -big), axis=0)
+    return lo, hi
+
+
 def choose_candidates(x_s, obs_mask, opts: BQOptions):
     """Candidate grid + mask (bq.py::BQ._choose_candidates).
 
@@ -102,10 +118,8 @@ def choose_candidates(x_s, obs_mask, opts: BQOptions):
     """
     dtype = x_s.dtype
     d = x_s.shape[1]
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     m = obs_mask
-    lo = jnp.min(jnp.where(m[:, None], x_s, big), axis=0)  # (d,)
-    hi = jnp.max(jnp.where(m[:, None], x_s, -big), axis=0)
+    lo, hi = live_bounds(x_s, obs_mask)
     if d == 1:
         t = jnp.linspace(0.0, 1.0, opts.n_candidate, dtype=dtype)[:, None]
     else:
@@ -491,11 +505,7 @@ def Z_var_gh(state: BQState, opts: BQOptions) -> jnp.ndarray:
     kfn, _ = get_kernel(opts.kernel)
     nodes, w = _gh_nodes(state, opts)
     m_l = gpm.gp_mean(kfn, state.gp_l, nodes) + state.gamma
-    # NOT via_kinv even in f32: the posterior covariance is a near-total
-    # cancellation (Koo − KoxK⁻¹Koxᵀ → ~0 near observations); the explicit
-    # inverse loses it entirely in f32 (measured: V[Z] clamps to 0), while
-    # the Cholesky solve form keeps ~1e-3 relative accuracy.
-    C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)
+    C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)  # solve form: see gp_cov
     a = w * m_l
     return jnp.maximum(a @ (C_tl @ a), 0.0)
 
@@ -531,11 +541,7 @@ def Z_var_qmc(state: BQState, opts: BQOptions) -> jnp.ndarray:
     kfn, _ = get_kernel(opts.kernel)
     nodes, w = _qmc_nodes(state, opts, opts.n_qmc)
     m_l = gpm.gp_mean(kfn, state.gp_l, nodes) + state.gamma
-    # NOT via_kinv even in f32: the posterior covariance is a near-total
-    # cancellation (Koo − KoxK⁻¹Koxᵀ → ~0 near observations); the explicit
-    # inverse loses it entirely in f32 (measured: V[Z] clamps to 0), while
-    # the Cholesky solve form keeps ~1e-3 relative accuracy.
-    C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)
+    C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)  # solve form: see gp_cov
     a = w * m_l
     return jnp.maximum(a @ (C_tl @ a), 0.0)
 

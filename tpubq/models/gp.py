@@ -108,18 +108,17 @@ def gp_mean(kfn: Callable, gp: GPState, xo) -> jnp.ndarray:
     return Kox @ gp.alpha
 
 
-def gp_cov(kfn: Callable, gp: GPState, xo, via_kinv: bool = False) -> jnp.ndarray:
+def gp_cov(kfn: Callable, gp: GPState, xo) -> jnp.ndarray:
     """Posterior covariance at xo (gp/gp.py::GP.cov).
 
-    ``via_kinv=True`` applies the cached explicit K⁻¹ as MXU matmuls instead
-    of the triangular solve — the float32 hot path (a multi-RHS tri-solve is
-    latency-bound at ~40 µs on v5e while the matmul is ~free; parity ~1e-5
-    rel in f32). float64 keeps the solve for the 1e-6 parity contract.
+    Deliberately the Cholesky-solve form even on the f32 hot path: the
+    posterior covariance is a near-total cancellation (Koo − KoxK⁻¹Koxᵀ → ~0
+    near observations), and applying the cached explicit K⁻¹ as matmuls
+    loses it entirely in f32 (measured: V[Z] clamps to 0), while the
+    triangular solve keeps ~1e-3 relative accuracy.
     """
     Kox = kfn(gp.theta, xo, gp.x) * gp.mask.astype(xo.dtype)[None, :]
     Koo = kfn(gp.theta, xo, xo)
-    if via_kinv:
-        return Koo - Kox @ (gp.Kinv @ Kox.T)
     v = linalg.tri_solve(gp.L, Kox.T)  # (n, no)
     return Koo - v.T @ v
 

@@ -73,6 +73,7 @@ from tpubq.models.bq import (
     BQState,
     _fit_gps,
     inv_log_transform,
+    live_bounds,
     log_transform,
 )
 from tpubq.ops import linalg
@@ -87,22 +88,25 @@ __all__ = [
 
 
 
-def _one_hot(i, n, dtype):
-    return (jnp.arange(n) == i).astype(dtype)
-
-
-def gp_border_add(kfn, kdiagfn, gp: gpm.GPState, i, x_new, y_new, update_L: bool):
+def gp_border_add(
+    kfn, kdiagfn, gp: gpm.GPState, i, x_new, y_new,
+    update_L: bool, update_alpha: bool = True,
+):
     """Flip slot ``i`` of a padded GP from dead to live — exact bordering.
 
     ``x_new``/``y_new`` are the *updated* full arrays (slot ``i`` already
-    written; ``y_new`` zero at dead slots). Returns ``(gp', s_schur)`` where
-    ``s_schur`` is the bordered Schur complement — the caller must treat the
-    update as invalid (and fall back) unless ``s_schur`` is safely positive.
+    written; ``y_new`` zero at dead slots). Returns ``(gp', s_schur, κ)``
+    where ``s_schur`` is the bordered Schur complement — the caller must
+    treat the update as invalid (and fall back) unless ``s_schur`` is safely
+    positive.
 
     ``update_L=True`` additionally appends the bordered Cholesky row, which
     is only valid when every live slot index is < ``i`` (true for the
     observation GP, whose live set is the prefix 0..ns-1; NOT true for the
     combined obs∪candidate GP, where live candidates sit above ``i``).
+    ``update_alpha=False`` returns the STALE ``alpha`` — for callers that
+    immediately recompute it against a further-updated K⁻¹ (the linear GP in
+    add_observation_fast), where the matvec here would be dead compute.
     """
     dtype = x_new.dtype
     n = x_new.shape[0]
@@ -115,7 +119,7 @@ def gp_border_add(kfn, kdiagfn, gp: gpm.GPState, i, x_new, y_new, update_L: bool
     u = gp.Kinv @ k
     s_schur = kappa - jnp.dot(k, u)
 
-    e_i = _one_hot(i, n, dtype)
+    e_i = jax.nn.one_hot(i, n, dtype=dtype)
     safe_s = jnp.maximum(s_schur, jnp.asarray(jnp.finfo(dtype).tiny, dtype))
     w = u - e_i
     Kinv = gp.Kinv - jnp.outer(e_i, e_i) + jnp.outer(w, w) / safe_s
@@ -131,7 +135,7 @@ def gp_border_add(kfn, kdiagfn, gp: gpm.GPState, i, x_new, y_new, update_L: bool
 
     mask = jnp.logical_or(mask_old, e_i.astype(bool))
     ym = jnp.where(mask, y_new, 0.0)
-    alpha = Kinv @ ym
+    alpha = Kinv @ ym if update_alpha else gp.alpha
     ok = jnp.logical_and(gp.ok, jnp.isfinite(s_schur))
     return (
         gpm.GPState(gp.theta, gp.s, x_new, ym, mask, L, alpha, Kinv, gp.jitter, ok),
@@ -207,11 +211,10 @@ def add_observation_fast(
     i = jnp.minimum(state.ns, opts.max_obs - 1)
     has_room = state.ns < opts.max_obs
 
-    # --- candidate positions move iff the live range extends --------------
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    m_obs = state.obs_mask
-    lo = jnp.min(jnp.where(m_obs[:, None], state.x_s, big), axis=0)
-    hi = jnp.max(jnp.where(m_obs[:, None], state.x_s, -big), axis=0)
+    # --- candidate positions move iff the live range extends (positions are
+    # a pure function of the live bounding box — bq.live_bounds is the
+    # single source of truth shared with choose_candidates) ----------------
+    lo, hi = live_bounds(state.x_s, state.obs_mask)
     inside = jnp.logical_and(jnp.all(x_a >= lo), jnp.all(x_a <= hi))
 
     # --- slot write (shared by both branches) ------------------------------
@@ -246,7 +249,7 @@ def add_observation_fast(
     Kinv_mid = delete_candidate_slots_kinv(state.gp_l.Kinv, flip, opts.max_obs)
     gp_l_mid = state.gp_l._replace(x=x_sc, mask=mask_mid, Kinv=Kinv_mid)
     gp_l, s_l, kap_l = gp_border_add(
-        kfn, kdiagfn, gp_l_mid, i, x_sc, l_sc, update_L=False
+        kfn, kdiagfn, gp_l_mid, i, x_sc, l_sc, update_L=False, update_alpha=False
     )
     sc_mask = gp_l.mask
     Kinv_l = _enforce_pad_pattern(gp_l.Kinv, sc_mask)
