@@ -175,3 +175,73 @@ def test_esm_fused_matches_xla_path_2d_f32():
     dup = np.asarray(bq.x_s[:3], np.float32)
     fd = np.asarray(acquire.expected_squared_mean_fused(bq.state, bq.options, dup))
     np.testing.assert_allclose(fd, bq.Z_mean() ** 2, rtol=1e-4)
+
+
+def test_cholesky_batch_major_matches_reference():
+    """Batch-major (lanes = batch) Cholesky vs numpy, incl. non-multiple
+    shapes that exercise sublane and lane padding."""
+    from tpubq.ops.pallas_kernels import cholesky_batch_major
+
+    rng = np.random.RandomState(7)
+    for B, N in [(5, 6), (9, 26), (3, 33)]:
+        A = rng.randn(B, N, N)
+        Ks = (A @ np.transpose(A, (0, 2, 1)) + N * np.eye(N)).astype(np.float32)
+        L = np.asarray(cholesky_batch_major(jnp.asarray(Ks)))
+        ref = np.linalg.cholesky(Ks.astype(np.float64))
+        np.testing.assert_allclose(L, ref, rtol=2e-4, atol=5e-5)
+        # strictly lower triangular + exact zeros above
+        assert np.all(np.triu(L, 1) == 0.0)
+
+
+def test_cholesky_batch_major_pad_convention_and_nan_isolation():
+    """Identity-padded (pad_gram) rows factor to identity; a non-PD matrix
+    NaN-poisons only its own batch entry (the jitter ladder's contract)."""
+    from tpubq.ops.pallas_kernels import cholesky_batch_major
+
+    rng = np.random.RandomState(3)
+    K = np.zeros((4, 9, 9), np.float32)
+    for b in range(4):
+        A = rng.randn(6, 6)
+        K[b, :6, :6] = A @ A.T + 6 * np.eye(6)
+        K[b, 6:, 6:] = np.eye(3)
+    K[1, :6, :6] = -np.eye(6)  # non-PD lane
+    L = np.asarray(cholesky_batch_major(jnp.asarray(K)))
+    for b in (0, 2, 3):
+        np.testing.assert_allclose(
+            L[b], np.linalg.cholesky(K[b].astype(np.float64)), rtol=2e-4, atol=5e-5
+        )
+        np.testing.assert_allclose(L[b][6:, 6:], np.eye(3), atol=1e-6)
+    assert np.any(~np.isfinite(L[1]))
+
+
+def test_cholesky_batch_major_large_n_fallback():
+    """N beyond the VMEM budget routes to jnp.linalg.cholesky (exact)."""
+    from tpubq.ops.pallas_kernels import bm_supported, cholesky_batch_major
+
+    assert not bm_supported(140)
+    rng = np.random.RandomState(1)
+    A = rng.randn(2, 140, 140)
+    Ks = (A @ np.transpose(A, (0, 2, 1)) + 140 * np.eye(140)).astype(np.float32)
+    L = np.asarray(cholesky_batch_major(jnp.asarray(Ks)))
+    np.testing.assert_allclose(
+        L, np.linalg.cholesky(np.asarray(Ks, np.float64)), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_posdef_cholesky_vmap_matches_per_matrix():
+    """The custom_vmap rule (→ batch-major kernel on TPU, XLA elsewhere)
+    must be transparent: vmapped results equal the per-matrix factor."""
+    from tpubq.ops import linalg
+
+    rng = np.random.RandomState(11)
+    B, N = 16, 20
+    A = rng.randn(B, N, N)
+    Ks = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) + N * np.eye(N), jnp.float32)
+    masks = jnp.ones((B, N), bool)
+    Ls, js, oks = jax.jit(
+        jax.vmap(lambda K, m: linalg.jitter_cholesky(K, m, 1e-6))
+    )(Ks, masks)
+    assert bool(jnp.all(oks))
+    for b in range(0, B, 5):
+        L1, j1, ok1 = linalg.jitter_cholesky(Ks[b], masks[b], 1e-6)
+        np.testing.assert_allclose(np.asarray(Ls[b]), np.asarray(L1), rtol=2e-4, atol=5e-5)

@@ -31,6 +31,7 @@ from jax import scipy as jsp
 
 __all__ = [
     "pad_gram",
+    "posdef_cholesky",
     "cholesky_fixed",
     "jitter_cholesky",
     "chol_solve",
@@ -85,6 +86,45 @@ def cholesky_fixed(K: jnp.ndarray, mask: jnp.ndarray, jitter: float = 1e-12):
 JITTER_LADDER_F32 = (0.0, 1e-4)
 
 
+@jax.custom_batching.custom_vmap
+def posdef_cholesky(A: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.linalg.cholesky`` with a TPU-aware batching rule.
+
+    Unbatched it IS ``jnp.linalg.cholesky``. Under ``vmap`` (the fleet /
+    marginalize paths), XLA's batched Cholesky serializes one custom call
+    per matrix (measured v5e: 285 µs at (100,26,26), 540 µs at (64,76,76));
+    the batching rule dispatches instead to the batch-major Pallas kernel
+    (``pallas_kernels.cholesky_batch_major``: batch in the VPU lanes — 10 µs
+    and 59 µs at those shapes) when it applies: float32, on TPU, N ≲ 88,
+    single batch axis. Everything else falls through to XLA.
+
+    NOT differentiable-through under vmap (the Pallas kernel has no VJP);
+    grad paths use ``cholesky_fixed``, which calls ``jnp.linalg.cholesky``
+    directly. NaN behavior matches XLA: a non-PD matrix yields NaNs in its
+    own batch entry only.
+    """
+    return jnp.linalg.cholesky(A)
+
+
+@posdef_cholesky.def_vmap
+def _posdef_cholesky_vmap(axis_size, in_batched, A):
+    del axis_size
+    (a_batched,) = in_batched
+    if not a_batched:
+        return jnp.linalg.cholesky(A), False
+    from tpubq.ops import pallas_kernels as pk
+
+    use_bm = (
+        A.ndim == 3  # a second vmap level would re-batch the kernel call
+        and A.dtype == jnp.float32
+        and A.shape[0] >= 8
+        and pk.bm_supported(A.shape[-1])
+        and pk.on_tpu()
+    )
+    L = pk.cholesky_batch_major(A) if use_bm else jnp.linalg.cholesky(A)
+    return L, True
+
+
 def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0):
     """Masked Cholesky with an escalating jitter ladder.
 
@@ -118,7 +158,7 @@ def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0)
         L, jit_used, ok = None, None, None
         for r in reversed(JITTER_LADDER_F32):
             j = (jnp.asarray(r, dtype) + jnp.asarray(base_jitter, dtype)) * scale
-            Li = jnp.linalg.cholesky(Kp + eye_live * j)
+            Li = posdef_cholesky(Kp + eye_live * j)
             oki = jnp.all(jnp.isfinite(Li))
             if L is None:  # coarsest rung seeds the fold
                 L, jit_used, ok = Li, j, oki

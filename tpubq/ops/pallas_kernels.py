@@ -25,16 +25,21 @@ code); wrappers pad shapes to tile boundaries with identity rows (the
 pad_gram convention of tpubq.ops.linalg).
 
 Dispatch status (measured on the v5e, round 2 — benchmarks/pallas_vs_xla.py
-and PARITY.md): the only PRODUCTION Pallas path is ``mll_grad_batched``
-(via fit_params_fused). Everything else here LOSES to XLA at the sizes this
-workload reaches: the Gram because XLA fuses it into consumers and never
-materializes it; Cholesky/tri-solve because XLA's TPU custom calls beat the
-vectorized column algorithm 2–5× (and the blocked kernels are VMEM-resident,
-N ≲ 1024 f32); and — round-2 addendum — even ``esm_fused``, once K⁻¹ is
-cached in GPState and applied as MXU matmuls, measures ~0.7× the pure-XLA
-scoring path. All kernels stay tested (interpret-mode on CPU, compiled on
-TPU) as reference implementations; the honest engineering conclusion is
-that on this tiny-matrix workload XLA's own fusion is the speed of light.
+and PARITY.md): the PRODUCTION Pallas paths are ``mll_grad_batched`` (via
+fit_params_fused) and ``cholesky_batch_major`` (via
+linalg.posdef_cholesky's custom_vmap rule on every vmapped f32
+factorization: fleet and marginalize paths). The rest LOSES to XLA at the
+sizes this workload reaches: the Gram because XLA fuses it into consumers
+and never materializes it; per-matrix Cholesky/tri-solve because XLA's TPU
+custom calls beat the vectorized column algorithm 2–5× (and the blocked
+kernels are VMEM-resident, N ≲ 1024 f32); and even ``esm_fused``, once K⁻¹
+is cached in GPState and applied as MXU matmuls, measures ~0.7× the
+pure-XLA scoring path. The lesson that survived two rounds of measuring:
+XLA's fusion is the speed of light for single small problems, but its
+BATCHED factorizations serialize one custom call per matrix — putting the
+batch in the VPU lane dimension is the one structural trick XLA cannot
+apply itself, and that is where a handwritten kernel wins (9–45× at this
+workload's batch shapes; see ``cholesky_batch_major``).
 """
 
 from __future__ import annotations
@@ -51,6 +56,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "gaussian_gram",
     "cholesky_batched",
+    "cholesky_batch_major",
+    "bm_supported",
     "cholesky_blocked",
     "tri_solve_blocked",
     "mll_grad_batched",
@@ -546,3 +553,110 @@ def tri_solve_blocked(L, R, interpret=None, block=128):
             interpret=_interpret(interpret),
         )(Lp, Rp)
     return X[:N, :M]
+
+
+# ---------------------------------------------------------------------------
+# Batch-major Cholesky — batched factorization with the batch in the lanes
+# ---------------------------------------------------------------------------
+
+
+def _chol_bm_kernel(a_ref, o_ref, work_ref):
+    """Batch-major column Cholesky: block (N, N, T), batch in the LANES.
+
+    XLA's batched Cholesky runs one custom call per matrix (serialized over
+    the batch); here the batch occupies the 128-wide lane dimension, so each
+    VPU lane factors a DIFFERENT problem and every update is a full-width
+    vector op. Layout is column-leading: axis 0 indexes the COLUMN (the
+    untiled dimension, where Mosaic supports dynamic ref slicing), axis 1
+    the row (sublanes), axis 2 the batch (lanes). The column recursion is
+    the textbook right-looking form; ``l`` is zeroed at rows ≤ j, making the
+    rank-1 trailing update a single unmasked fused multiply-subtract
+    (finalized columns and the pivot column see exact zeros). Mosaic cannot
+    dynamically index VALUES, so the pivot A[j,j] comes out of the loaded
+    column by a masked reduction, and per-column reads/writes go through the
+    refs (leading-axis ``pl.ds``).
+    """
+    work_ref[...] = a_ref[...]
+    n = a_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (N, 1)
+
+    def body(j, _):
+        colj = work_ref[pl.ds(j, 1)][0]  # (N, T): column j, rows in sublanes
+        dj = jnp.sum(jnp.where(rows == j, colj, 0.0), axis=0)  # pivot (T,)
+        d = jnp.sqrt(dj)
+        col = colj / d[None, :]
+        l = jnp.where(rows > j, col, 0.0)  # strictly-below-diagonal part
+        o_ref[pl.ds(j, 1)] = (l + jnp.where(rows == j, d[None, :], 0.0))[None]
+        work_ref[...] = work_ref[...] - l[:, None, :] * l[None, :, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+#: Largest padded N whose in+out+scratch blocks at the mandatory 128-lane
+#: tile fit the ~12 MB VMEM budget (Mosaic requires the lane dimension of a
+#: block to be 128-divisible, so the tile cannot shrink for larger N).
+_BM_MAX_N = int((12 * 1024 * 1024 / (3 * 4 * 128)) ** 0.5)  # ≈ 88
+
+
+def bm_supported(n: int) -> bool:
+    """Whether cholesky_batch_major covers matrices of this size."""
+    return _round_up(max(n, 8), 8) <= _BM_MAX_N
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cholesky_batch_major(Ks, interpret=None):
+    """Batched Cholesky with the batch in the lane dimension: (B, N, N) → L.
+
+    float32. Padded rows of each matrix must follow the identity-pad
+    convention (tpubq.ops.linalg.pad_gram) — they factor to identity. The
+    batch is padded to the lane tile with identity matrices; N is padded to
+    the sublane granularity (8) with identity diagonal.
+
+    Measured (v5e, scan-differenced): ~0 µs at (100, 26, 26) vs 287 µs for
+    XLA's batched Cholesky, 57 µs at (64, 76, 76) vs 540 µs (9.5×) — every
+    update is a full-lane VPU op instead of one serialized custom call per
+    matrix. Matrices larger than ``bm_supported`` (N ≳ 88) fall back to
+    ``jnp.linalg.cholesky``: Mosaic requires 128-divisible lane blocks, so
+    the tile cannot shrink to fit VMEM. Non-PD matrices produce NaNs in
+    their own lane only (sqrt of a negative pivot), which the jitter
+    ladder's finiteness check consumes.
+    """
+    interpret = _interpret(interpret)
+    B, N, N2 = Ks.shape
+    assert N == N2, Ks.shape
+    if Ks.dtype != jnp.float32:
+        raise TypeError("cholesky_batch_major is float32-only")
+    if not bm_supported(N):
+        return jnp.linalg.cholesky(Ks)
+    n_pad = _round_up(max(N, 8), 8)
+    tile = 128
+    b_pad = _round_up(max(B, tile), tile)
+
+    # column-leading layout: A[c, r, b] = K[b, r, c] (symmetric input)
+    A = jnp.transpose(Ks, (2, 1, 0))
+    A = jnp.pad(A, ((0, n_pad - N), (0, n_pad - N), (0, b_pad - B)))
+    # identity-fill the padded diagonal region (cols ≥ N of every lane, and
+    # every col of the padded lanes) so no lane hits sqrt(0) spuriously
+    idx = jnp.arange(n_pad)
+    fill = jnp.logical_or(
+        idx[:, None] >= N, jnp.arange(b_pad)[None, :] >= B
+    )  # (n_pad, b_pad)
+    A = A.at[idx, idx, :].add(jnp.where(fill, 1.0, 0.0))
+
+    with _x64_off():
+        out = pl.pallas_call(
+            _chol_bm_kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), jnp.float32),
+            grid=(b_pad // tile,),
+            in_specs=[
+                pl.BlockSpec((n_pad, n_pad, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((n_pad, n_pad, tile), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((n_pad, n_pad, tile), jnp.float32)],
+            interpret=interpret,
+        )(A)
+    # out is column-leading: out[c, r, b] = L[b, r, c]
+    return jnp.transpose(out[:N, :N, :B], (2, 1, 0))
