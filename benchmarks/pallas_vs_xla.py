@@ -161,6 +161,24 @@ def main():
             advance, (L, R), rows,
         )
 
+    # -- batch-major Cholesky (batch in the VPU lanes) ------------------------
+    # The one batched shape class where Pallas beats XLA (XLA serializes one
+    # custom call per matrix; the batch-major kernel factors one problem per
+    # lane). Shapes: marginalize sample batches and fleet refits.
+    for B, N in ((100, 26), (64, 76), (1024, 26)):
+        A = rng.standard_normal((B, N, N))
+        Ks = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) + N * np.eye(N), dtype)
+
+        def advance(a, out):
+            return (a[0] * (1.0 + 1e-9 * out[0, 0, 0]),)
+
+        _bench(
+            f"batchmajor_chol_{B}x{N}",
+            jnp.linalg.cholesky,
+            functools.partial(pk.cholesky_batch_major, interpret=False),
+            advance, (Ks,), rows,
+        )
+
     if args_ns.csv:
         with open(args_ns.csv, "w") as f:
             f.write("case,xla_ms,pallas_ms,speedup,relerr,winner\n")
