@@ -37,3 +37,23 @@ def test_fleet_serving_example():
     )
     assert out.returncode == 0, out.stderr[-800:]
     assert "done:" in out.stdout
+
+
+def test_active_sampling_2d_example():
+    """The 2-D walkthrough runs end-to-end and hits its own accuracy
+    assertions (CPU f64)."""
+    root = pathlib.Path(__file__).resolve().parents[1]
+    env = {
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "HOME": "/tmp",
+        "PYTHONPATH": str(root),
+        "JAX_PLATFORMS": "cpu",
+        "MPLBACKEND": "Agg",
+    }
+    r = subprocess.run(
+        [sys.executable, str(root / "examples" / "active_sampling_2d.py"),
+         "--steps", "6", "--dtype", "float64"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(root),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rel err" in r.stdout

@@ -161,3 +161,31 @@ def test_periodic_explicit_params_freeze_period():
     # default (None) moves the whole family, period included
     th_all = bq.sample_hypers(n=5, seed=1)
     assert np.std(th_all[:, 2]) > 0
+
+
+def test_prior_std_regularizes_flat_directions():
+    """A 2-D problem with few observations leaves hyper directions nearly
+    unconstrained by the MLL: under the default weak prior (std 5 in log
+    space) samples wander orders of magnitude; prior_std=1.5 bounds them
+    without changing the sampler's contract."""
+    import tpubq
+
+    rng = np.random.RandomState(4)
+    x0 = rng.uniform(-2.0, 2.0, size=(12, 2))
+    l0 = np.exp(-0.5 * np.sum((x0 - np.array([0.3, -0.2])) ** 2, axis=1) / 0.55**2)
+    bq = tpubq.BQ(x0, l0, n_candidate=16, candidate_thresh=0.3,
+                  x_mean=np.zeros(2), x_var=np.eye(2))
+    bq.init(params_tl=(0.7, 0.8, 0.8), params_l=(0.3, 0.5, 0.5)).fit(seed=0)
+    th_weak = bq.sample_hypers(n=40, nburn=10, seed=9)
+    th_tight = bq.sample_hypers(n=40, nburn=10, seed=9, prior_std=1.5)
+    assert th_weak.shape == th_tight.shape == (40, 3)
+    # the weak prior demonstrably lets samples escape to extreme scales...
+    assert np.max(th_weak) > 50.0
+    # ...and the tight prior bounds them (3 sigma of N(0, 1.5^2) in log
+    # space is e^4.5 ~ 90; nothing should sit far outside that)
+    assert np.max(th_tight) < 100.0
+    # total log-spread shrinks across the parameter vector
+    def total_spread(t):
+        return float(np.sum(np.log(np.percentile(t, 95, axis=0)
+                                   / np.percentile(t, 5, axis=0))))
+    assert total_spread(th_tight) < 0.7 * total_spread(th_weak)

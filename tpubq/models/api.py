@@ -306,7 +306,7 @@ class BQ:
         return tuple(params)
 
     def sample_hypers(self, params=None, n: int = None, nburn: int = None, seed=None,
-                      n_chains: int = 1) -> np.ndarray:
+                      n_chains: int = 1, prior_std: float = 5.0) -> np.ndarray:
         """Slice-sample hyperparameter posteriors (bq.py::BQ.sample_hypers
         signature: ``sample_hypers(params, n, nburn)``).
 
@@ -335,10 +335,12 @@ class BQ:
             margm.sample_hypers(
                 self.state, self.options, self._key(seed), n, nburn,
                 self._norm_params(params), n_chains=n_chains,
+                prior_std=prior_std,
             )
         )
 
-    def marginalize(self, funs=None, n: int = 100, params=None, seed=None):
+    def marginalize(self, funs=None, n: int = 100, params=None, seed=None,
+                    prior_std: float = 5.0):
         """Hyperparameter-marginalized estimates (bq.py::BQ.marginalize).
 
         ``funs`` defaults to (Z_mean, Z_var); strings "Z_mean"/"Z_var" are
@@ -353,14 +355,15 @@ class BQ:
         funs = tuple(named.get(f, f) for f in funs)
         thetas = margm.sample_hypers(
             self.state, self.options, self._key(seed), n,
-            params=self._norm_params(params),
+            params=self._norm_params(params), prior_std=prior_std,
         )
         outs = margm.marginalize(self.state, self.options, thetas, funs)
         return tuple(np.asarray(o) for o in outs)
 
     # --------------------------------------------------------- active sampling
     def choose_next(self, x_a, n: int = 0, params=None, seed=None,
-                    plot: bool = False, refine: bool = False):
+                    plot: bool = False, refine: bool = False,
+                    prior_std: float = 5.0):
         """Best next sample location from a grid, optionally marginalizing ESM
         over ``n`` hyper samples of the named ``params``
         (bq.py::BQ.choose_next).
@@ -373,7 +376,7 @@ class BQ:
         if n and n > 0:
             hyper = margm.sample_hypers(
                 self.state, self.options, self._key(seed), n,
-                params=self._norm_params(params),
+                params=self._norm_params(params), prior_std=prior_std,
             )
         x_best, scores = _choose(self.state, self.options, jnp.asarray(x_a), hyper)
         if refine:

@@ -170,7 +170,10 @@ def param_coords(params, opts: BQOptions):
     return tuple(sorted(set(coords))), sample_l
 
 
-@partial(jax.jit, static_argnames=("opts", "n", "nburn", "params", "n_chains"))
+@partial(
+    jax.jit,
+    static_argnames=("opts", "n", "nburn", "params", "n_chains", "prior_std"),
+)
 def sample_hypers(
     state: BQState,
     opts: BQOptions,
@@ -179,9 +182,19 @@ def sample_hypers(
     nburn: int = 10,
     params=None,
     n_chains: int = 1,
+    prior_std: float = _PRIOR_STD,
 ):
     """Slice-sample kernel hyperparameters from MLL × weak prior
     (bq.py::BQ.sample_hypers).
+
+    ``prior_std``: standard deviation of the N(0, σ²) prior on each
+    log-hyperparameter (default 5 — extremely weak, reference-faithful "MLL
+    plus positivity" behavior). With few observations the MLL can be FLAT
+    along a hyper direction (e.g. a length-scale the data does not
+    constrain); the weak prior then lets samples wander to θ ~ e^{±10} and
+    the marginalized E[Z]/V[Z] inherit that spread. Passing a tighter value
+    (1–2) regularizes those directions without noticeably biasing the
+    well-identified ones.
 
     ``params`` names which hypers move (reference signature parity); the rest
     stay fixed at their current values. Plain names (``h``, ``w``, ``p``)
@@ -215,7 +228,7 @@ def sample_hypers(
                 kfn, theta, gp_tl.s, state.x_s, state.tl_s, state.obs_mask,
                 opts.base_jitter,
             )
-            prior = -0.5 * jnp.sum((u / _PRIOR_STD) ** 2)
+            prior = -0.5 * jnp.sum((u / prior_std) ** 2)
             return jnp.where(jnp.isfinite(mll), mll + prior, -jnp.inf)
 
         u0 = jnp.log(gp_tl.theta)
@@ -243,7 +256,7 @@ def sample_hypers(
         mll_l = gpm.log_mll(
             kfn, theta_l, gp_l.s, state.x_sc, l_sc, state.sc_mask, opts.base_jitter
         )
-        prior = -0.5 * jnp.sum((u / _PRIOR_STD) ** 2)
+        prior = -0.5 * jnp.sum((u / prior_std) ** 2)
         tot = mll_tl + mll_l + prior
         return jnp.where(jnp.isfinite(tot), tot, -jnp.inf)
 
