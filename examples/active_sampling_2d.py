@@ -36,7 +36,8 @@ def main():
         "--dtype", default=None, choices=["float64", "float32"],
         help="default: float32 on TPU, float64 elsewhere",
     )
-    ap.add_argument("--n-hyper", type=int, default=8)
+    ap.add_argument("--n-hyper", type=int, default=50,
+                help="hyper samples for the final marginalization")
     args = ap.parse_args()
     if args.dtype is None:
         import jax
@@ -81,7 +82,7 @@ def main():
     # default ultra-weak prior (std 5 in log space) would let samples wander
     # to extreme length-scales that dominate the average. prior_std is the
     # knob for that (see tpubq.models.marginalize.sample_hypers).
-    zms, _zvs = bq.marginalize(n=50, seed=9, prior_std=1.5)
+    zms, _zvs = bq.marginalize(n=args.n_hyper, seed=9, prior_std=1.5)
     zm_marg = float(np.median(zms))
     print(
         f"final : E[Z]={zm_pt:.6f} (rel err {rel:.2%}); "

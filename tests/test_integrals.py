@@ -288,7 +288,7 @@ def test_integral_family_fuzz_general_d_vs_qmc():
             diff = (a[:, None, :] - b[None, :, :]) / w
             return h * h * np.exp(-0.5 * np.sum(diff * diff, axis=-1))
 
-        tol = 0.03  # QMC error at 2^15 nodes
+        tol = 0.03  # QMC error at 2^14 nodes
 
         got = np.asarray(igr.int_K(_j(x1), h1, _j(w1), _j(mu), _j(Sigma)))
         ref = k(h1, w1, nodes1, x1).mean(axis=0)

@@ -245,3 +245,28 @@ def test_posdef_cholesky_vmap_matches_per_matrix():
     for b in range(0, B, 5):
         L1, j1, ok1 = linalg.jitter_cholesky(Ks[b], masks[b], 1e-6)
         np.testing.assert_allclose(np.asarray(Ls[b]), np.asarray(L1), rtol=2e-4, atol=5e-5)
+
+
+def test_cholesky_batch_major_nested_vmap():
+    """A second vmap level maps the kernel over an extra grid dimension
+    (jax's pallas batching rule) — the path a vmapped fleet-of-marginalize
+    composition would take."""
+    from tpubq.ops.pallas_kernels import cholesky_batch_major
+
+    rng = np.random.RandomState(0)
+    A = rng.randn(3, 5, 12, 12)
+    Ks = jnp.asarray(
+        A @ np.swapaxes(A, -1, -2) + 12 * np.eye(12), jnp.float32
+    )
+    L = jax.vmap(cholesky_batch_major)(Ks)
+    ref = np.linalg.cholesky(np.asarray(Ks, np.float64))
+    np.testing.assert_allclose(np.asarray(L), ref, rtol=2e-4, atol=5e-5)
+
+
+def test_bm_supported_budget_is_batch_aware():
+    from tpubq.ops.pallas_kernels import bm_supported
+
+    assert bm_supported(76, 64)        # single 128-lane tile: 3 buffers
+    assert not bm_supported(76, 256)   # multi-step grid double-buffers
+    assert not bm_supported(140, 8)
+    assert bm_supported(26, 4096)

@@ -306,7 +306,7 @@ class BQ:
         return tuple(params)
 
     def sample_hypers(self, params=None, n: int = None, nburn: int = None, seed=None,
-                      n_chains: int = 1, prior_std: float = 5.0) -> np.ndarray:
+                      n_chains: int = 1, prior_std: float = None) -> np.ndarray:
         """Slice-sample hyperparameter posteriors (bq.py::BQ.sample_hypers
         signature: ``sample_hypers(params, n, nburn)``).
 
@@ -331,6 +331,8 @@ class BQ:
             params, n, nburn, seed = None, int(params), n, nburn if nburn is not None else seed
         n = 100 if n is None else int(n)
         nburn = 10 if nburn is None else int(nburn)
+        if prior_std is None:
+            prior_std = margm._PRIOR_STD
         return np.asarray(
             margm.sample_hypers(
                 self.state, self.options, self._key(seed), n, nburn,
@@ -340,7 +342,7 @@ class BQ:
         )
 
     def marginalize(self, funs=None, n: int = 100, params=None, seed=None,
-                    prior_std: float = 5.0):
+                    prior_std: float = None):
         """Hyperparameter-marginalized estimates (bq.py::BQ.marginalize).
 
         ``funs`` defaults to (Z_mean, Z_var); strings "Z_mean"/"Z_var" are
@@ -355,7 +357,8 @@ class BQ:
         funs = tuple(named.get(f, f) for f in funs)
         thetas = margm.sample_hypers(
             self.state, self.options, self._key(seed), n,
-            params=self._norm_params(params), prior_std=prior_std,
+            params=self._norm_params(params),
+            prior_std=margm._PRIOR_STD if prior_std is None else prior_std,
         )
         outs = margm.marginalize(self.state, self.options, thetas, funs)
         return tuple(np.asarray(o) for o in outs)
@@ -363,7 +366,7 @@ class BQ:
     # --------------------------------------------------------- active sampling
     def choose_next(self, x_a, n: int = 0, params=None, seed=None,
                     plot: bool = False, refine: bool = False,
-                    prior_std: float = 5.0):
+                    prior_std: float = None):
         """Best next sample location from a grid, optionally marginalizing ESM
         over ``n`` hyper samples of the named ``params``
         (bq.py::BQ.choose_next).
@@ -376,7 +379,8 @@ class BQ:
         if n and n > 0:
             hyper = margm.sample_hypers(
                 self.state, self.options, self._key(seed), n,
-                params=self._norm_params(params), prior_std=prior_std,
+                params=self._norm_params(params),
+                prior_std=margm._PRIOR_STD if prior_std is None else prior_std,
             )
         x_best, scores = _choose(self.state, self.options, jnp.asarray(x_a), hyper)
         if refine:

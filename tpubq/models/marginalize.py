@@ -170,10 +170,7 @@ def param_coords(params, opts: BQOptions):
     return tuple(sorted(set(coords))), sample_l
 
 
-@partial(
-    jax.jit,
-    static_argnames=("opts", "n", "nburn", "params", "n_chains", "prior_std"),
-)
+@partial(jax.jit, static_argnames=("opts", "n", "nburn", "params", "n_chains"))
 def sample_hypers(
     state: BQState,
     opts: BQOptions,
@@ -182,7 +179,7 @@ def sample_hypers(
     nburn: int = 10,
     params=None,
     n_chains: int = 1,
-    prior_std: float = _PRIOR_STD,
+    prior_std: float = _PRIOR_STD,  # traced scalar: sweeping it never recompiles
 ):
     """Slice-sample kernel hyperparameters from MLL × weak prior
     (bq.py::BQ.sample_hypers).

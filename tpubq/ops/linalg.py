@@ -95,8 +95,10 @@ def posdef_cholesky(A: jnp.ndarray) -> jnp.ndarray:
     per matrix (measured v5e: 285 µs at (100,26,26), 540 µs at (64,76,76));
     the batching rule dispatches instead to the batch-major Pallas kernel
     (``pallas_kernels.cholesky_batch_major``: batch in the VPU lanes — 10 µs
-    and 59 µs at those shapes) when it applies: float32, on TPU, N ≲ 88,
-    single batch axis. Everything else falls through to XLA.
+    and 59 µs at those shapes) when it applies: float32, on TPU, and the
+    shape fits VMEM (``pallas_kernels.bm_supported``). Everything else falls
+    through to XLA; nested vmap maps the kernel over an extra grid
+    dimension.
 
     NOT differentiable-through under vmap (the Pallas kernel has no VJP);
     grad paths use ``cholesky_fixed``, which calls ``jnp.linalg.cholesky``
@@ -115,12 +117,16 @@ def _posdef_cholesky_vmap(axis_size, in_batched, A):
     from tpubq.ops import pallas_kernels as pk
 
     use_bm = (
-        A.ndim == 3  # a second vmap level would re-batch the kernel call
+        A.ndim == 3
         and A.dtype == jnp.float32
         and A.shape[0] >= 8
-        and pk.bm_supported(A.shape[-1])
+        and pk.bm_supported(A.shape[-1], A.shape[0])
         and pk.on_tpu()
     )
+    # NOTE nested vmap: a second vmap level re-enters this rule with the
+    # outer axis hidden in the trace, so use_bm can be True there too — that
+    # is fine: vmap over the pallas_call maps it across an extra grid
+    # dimension (verified compiled on TPU, test_pallas.py).
     L = pk.cholesky_batch_major(A) if use_bm else jnp.linalg.cholesky(A)
     return L, True
 

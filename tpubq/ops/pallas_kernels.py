@@ -593,15 +593,18 @@ def _chol_bm_kernel(a_ref, o_ref, work_ref):
     jax.lax.fori_loop(0, n, body, 0)
 
 
-#: Largest padded N whose in+out+scratch blocks at the mandatory 128-lane
-#: tile fit the ~12 MB VMEM budget (Mosaic requires the lane dimension of a
-#: block to be 128-divisible, so the tile cannot shrink for larger N).
-_BM_MAX_N = int((12 * 1024 * 1024 / (3 * 4 * 128)) ** 0.5)  # ≈ 88
+def bm_supported(n: int, batch: int = None) -> bool:
+    """Whether cholesky_batch_major covers (batch, n, n) within VMEM.
 
-
-def bm_supported(n: int) -> bool:
-    """Whether cholesky_batch_major covers matrices of this size."""
-    return _round_up(max(n, 8), 8) <= _BM_MAX_N
+    The lane tile is fixed at 128 (Mosaic requires 128-divisible lane
+    blocks), so the only budget knob is N. With one grid step (batch ≤ 128)
+    the kernel holds in + out + scratch = 3 blocks; with a multi-step grid
+    Pallas double-buffers the in/out blocks (5 live) — the budget shrinks
+    accordingly. ``batch=None`` assumes the conservative multi-step case.
+    """
+    n_buffers = 3 if (batch is not None and batch <= 128) else 5
+    n_pad = _round_up(max(n, 8), 8)
+    return n_buffers * n_pad * n_pad * 4 * 128 <= 12 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -616,18 +619,21 @@ def cholesky_batch_major(Ks, interpret=None):
     Measured (v5e, scan-differenced): ~0 µs at (100, 26, 26) vs 287 µs for
     XLA's batched Cholesky, 57 µs at (64, 76, 76) vs 540 µs (9.5×) — every
     update is a full-lane VPU op instead of one serialized custom call per
-    matrix. Matrices larger than ``bm_supported`` (N ≳ 88) fall back to
+    matrix. Shapes beyond ``bm_supported`` (N ≳ 88 single-tile, ≳ 64 when
+    the batch needs multiple 128-lane grid steps) fall back to
     ``jnp.linalg.cholesky``: Mosaic requires 128-divisible lane blocks, so
     the tile cannot shrink to fit VMEM. Non-PD matrices produce NaNs in
     their own lane only (sqrt of a negative pivot), which the jitter
-    ladder's finiteness check consumes.
+    ladder's finiteness check consumes. A further ``vmap`` over this
+    function maps the kernel over an extra grid dimension (jax's pallas
+    batching rule) — tested compiled on TPU.
     """
     interpret = _interpret(interpret)
     B, N, N2 = Ks.shape
     assert N == N2, Ks.shape
     if Ks.dtype != jnp.float32:
         raise TypeError("cholesky_batch_major is float32-only")
-    if not bm_supported(N):
+    if not bm_supported(N, B):
         return jnp.linalg.cholesky(Ks)
     n_pad = _round_up(max(N, 8), 8)
     tile = 128
