@@ -1,0 +1,29 @@
+# Reference parity: the upstream repo drove its suite through make
+# (SURVEY.md §2.1 build row). Same entry points here.
+
+PY ?= python
+
+.PHONY: test test-tpu bench bench-all dryrun example lint
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-tpu:
+	TPUBQ_TEST_TPU=1 $(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+bench-all:
+	$(PY) bench.py --all
+
+dryrun:
+	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+example:
+	$(PY) examples/active_sampling.py --steps 3
+	$(PY) examples/active_sampling_2d.py --steps 4
+	$(PY) examples/fleet_serving.py --problems 4 --steps 2
+
+lint:
+	$(PY) -m compileall -q tpubq tests examples bench.py __graft_entry__.py
