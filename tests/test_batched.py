@@ -208,3 +208,43 @@ def test_bqfleet_guard_rails(tmp_path):
     tio.save_state(p, single, fleet.options)
     with pytest.raises(ValueError, match="BATCHED"):
         tpubq.BQFleet.load(p)
+
+
+def test_choose_next_batch_single_point_grid_dim2():
+    """A 1-D grid array for dim=2 means ONE 2-D point (the as_points
+    contract); choose_next_batch must return that point for every problem,
+    not scramble it into two bogus 1-D points."""
+    rng = np.random.RandomState(0)
+    opts2 = BQOptions(n_candidate=10, candidate_thresh=0.25, max_obs=16, dim=2)
+    xs = rng.uniform(-2, 2, size=(3, 8, 2))
+    ls = np.exp(-0.5 * np.sum(xs**2, axis=-1))
+    states = batched.init_batch(xs, ls, opts2,
+                                params_tl=(0.7, 0.8, 0.8), params_l=(0.3, 0.5, 0.5))
+    pt = np.array([0.31, -0.42])
+    x_next, scores = batched.choose_next_batch(states, opts2, jnp.asarray(pt))
+    assert x_next.shape == (3, 2)
+    np.testing.assert_allclose(np.asarray(x_next), np.tile(pt, (3, 1)), rtol=1e-6)
+    assert scores.shape == (3, 1)
+
+
+def test_init_batch_per_problem_measures_1d():
+    """d=1 fleets accept per-problem (B,) x_means / x_vars."""
+    xs = np.stack([np.linspace(-2, 2, 8) + 0.1 * b for b in range(3)])
+    ls = np.exp(-0.5 * xs**2)
+    mus = np.array([-0.5, 0.0, 0.5])
+    vs = np.array([0.5, 1.0, 2.0])
+    states = batched.init_batch(xs[..., None], ls, OPTS,
+                                params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                                x_means=mus, x_vars=vs)
+    np.testing.assert_allclose(np.asarray(states.x_mean)[:, 0], mus)
+    np.testing.assert_allclose(np.asarray(states.x_var)[:, 0, 0], vs)
+    # shared forms still work
+    st2 = batched.init_batch(xs[..., None], ls, OPTS,
+                             params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                             x_means=np.array([0.25]), x_vars=np.array([1.5]))
+    np.testing.assert_allclose(np.asarray(st2.x_mean), 0.25 * np.ones((3, 1)))
+    # a shape matching neither form raises loudly
+    with pytest.raises(ValueError):
+        batched.init_batch(xs[..., None], ls, OPTS,
+                           params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                           x_means=np.zeros(5))

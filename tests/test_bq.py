@@ -698,3 +698,11 @@ def test_plotting_raises_for_multidim():
     bq.init()
     with pytest.raises(ValueError, match="1-D"):
         bq.plot_gp_l()
+
+
+def test_scalar_params_raise_value_error():
+    """A 0-d params value must produce the designed ValueError (entry-count
+    message), not an IndexError from shape[0] on a scalar."""
+    x = tu.make_x()
+    with pytest.raises(ValueError, match="entries"):
+        bqm.init_state(x, tu.f_l(x), tpubq.BQOptions(max_obs=16), params_tl=1.0)

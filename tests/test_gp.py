@@ -137,3 +137,22 @@ def test_gp_fit_ok_true_on_healthy_gram():
     x = jnp.asarray(np.linspace(-1, 1, 6))[:, None]
     st = gpm.gp_fit(kfn, jnp.asarray([1.0, 1.0]), 0.1, x, jnp.ones(6), jnp.ones(6, bool))
     assert bool(st.ok) and np.all(np.isfinite(np.asarray(st.alpha)))
+
+
+def test_gp_fit_jitter_units_consistent_across_modes():
+    """GPState.jitter is in absolute units in BOTH fit modes: at a rung-0
+    factorization, ladder=True and ladder=False must record the same
+    applied jitter (base_jitter × mean live diagonal)."""
+    from tpubq.ops.kernels import get_kernel
+
+    kfn, _ = get_kernel("gaussian")
+    x = jnp.asarray(np.linspace(-2, 2, 7))[:, None]
+    y = jnp.asarray(np.exp(-0.5 * np.asarray(x[:, 0]) ** 2))
+    mask = jnp.ones(7, bool)
+    theta = jnp.asarray([1.3, 0.8])
+    g_lad = gpm.gp_fit(kfn, theta, 0.0, x, y, mask, base_jitter=1e-8, ladder=True)
+    g_fix = gpm.gp_fit(kfn, theta, 0.0, x, y, mask, base_jitter=1e-8, ladder=False)
+    assert bool(g_lad.ok) and bool(g_fix.ok)
+    np.testing.assert_allclose(float(g_lad.jitter), float(g_fix.jitter), rtol=1e-12)
+    assert float(g_fix.jitter) > 0  # absolute: base * mean diag (h² = 1.69)
+    np.testing.assert_allclose(float(g_fix.jitter), 1e-8 * 1.69, rtol=1e-6)

@@ -81,10 +81,20 @@ def init_batch(
         x_means = np.zeros((B, d), dtype)
     else:
         x_means = np.asarray(x_means, dtype)
-        if x_means.ndim <= 1:
-            x_means = np.broadcast_to(x_means.reshape(-1), (d,))
-        if x_means.ndim == 1:
-            x_means = np.broadcast_to(x_means, (B, d))
+        if x_means.ndim == 0:
+            x_means = np.full((B, d), float(x_means), dtype)
+        elif x_means.ndim == 1:
+            # (d,) = shared mean; (B,) = per-problem scalar means (d == 1).
+            # When B == d the shared reading wins (pass (B, 1) to be explicit).
+            if x_means.shape[0] == d:
+                x_means = np.broadcast_to(x_means, (B, d))
+            elif d == 1 and x_means.shape[0] == B:
+                x_means = x_means[:, None]
+            else:
+                raise ValueError(
+                    f"x_means of shape {x_means.shape} matches neither (d,)="
+                    f"({d},) shared nor (B,)=({B},) per-problem (d=1) form"
+                )
     x_means = np.asarray(x_means, dtype).reshape(B, d)
     if x_vars is None:
         x_vars = np.tile(np.eye(d, dtype=dtype)[None], (B, 1, 1))
@@ -93,7 +103,17 @@ def init_batch(
         if x_vars.ndim == 0:
             x_vars = np.eye(d, dtype=dtype) * x_vars
         elif x_vars.ndim == 1:
-            x_vars = np.diag(x_vars.astype(dtype))
+            # (d,) = shared diagonal; (B,) = per-problem variances (d == 1)
+            if x_vars.shape[0] == d:
+                x_vars = np.diag(x_vars.astype(dtype))
+            elif d == 1 and x_vars.shape[0] == B:
+                x_vars = x_vars[:, None, None]
+            else:
+                raise ValueError(
+                    f"x_vars of shape {x_vars.shape} matches neither (d,)="
+                    f"({d},) shared-diagonal nor (B,)=({B},) per-problem "
+                    "(d=1) form"
+                )
         if x_vars.ndim == 2:
             x_vars = np.broadcast_to(x_vars, (B, d, d))
     x_vars = np.asarray(x_vars, dtype).reshape(B, d, d)
@@ -157,10 +177,13 @@ def _batch_size(states: BQState) -> int:
 @partial(jax.jit, static_argnames=("opts",))
 def choose_next_batch(states: BQState, opts: BQOptions, grid):
     """Per-problem argmax of ESM over a shared grid → ((B, d), (B, G))."""
+    from tpubq.models.acquire import as_points
+
     scores = expected_squared_mean_batch(states, opts, grid)
-    grid2 = jnp.asarray(grid)
-    if grid2.ndim == 1:
-        grid2 = grid2[:, None]
+    # as_points, not a raw [:, None]: for dim > 1 a 1-D grid array is ONE
+    # d-dimensional point, which a raw reshape would scramble into d bogus
+    # 1-D points and return a wrong-shaped x_next.
+    grid2 = as_points(jnp.asarray(grid, states.x_s.dtype), opts.dim)
     return grid2[jnp.argmax(scores, axis=1)], scores
 
 
@@ -279,10 +302,16 @@ class BQFleet:
         x_arr = np.asarray(x_next, self.options.np_dtype).reshape(
             (len(self), self.options.dim)
         )
-        xs = np.asarray(self._states.x_s)  # (B, max_obs, d)
-        mask = np.asarray(self._states.obs_mask)  # (B, max_obs)
-        dist = np.max(np.abs(xs - x_arr[:, None, :]), axis=-1)  # (B, max_obs)
-        if np.any(np.where(mask, dist, np.inf).min(axis=1) < 1e-10):
+        # duplicate check computed ON DEVICE — only a scalar comes back
+        # (pulling the whole (B, max_obs, d) fleet state to host per call
+        # would serialize a full-state transfer into the serving hot path)
+        dist = jnp.max(
+            jnp.abs(self._states.x_s - jnp.asarray(x_arr)[:, None, :]), axis=-1
+        )
+        min_dist = jnp.min(
+            jnp.where(self._states.obs_mask, dist, jnp.inf), axis=1
+        )
+        if bool(jnp.any(min_dist < 1e-10)):
             raise ValueError("duplicate observation location in the fleet")
         self._states = add_observation_batch(
             self._states, self.options, x_arr, l_next

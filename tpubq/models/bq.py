@@ -208,7 +208,11 @@ def validate_theta(theta, opts: BQOptions, name="theta"):
     into W + Sigma computes silently-wrong integrals (ADVICE r1, medium),
     hence hard errors.
     """
-    n = int(theta.shape[0]) if hasattr(theta, "shape") else len(theta)
+    shape = getattr(theta, "shape", None)
+    if shape is None:
+        n = len(theta)
+    else:
+        n = int(shape[0]) if len(shape) else 0  # 0-d scalar = zero entries
     if opts.kernel == "periodic" and opts.dim != 1:
         raise ValueError("periodic kernel is 1-D only")
     want = theta_len(opts)
@@ -375,7 +379,7 @@ def apply_hyper_sample(state: BQState, opts: BQOptions, theta, ladder=True) -> B
 
 
 def _theta_hw(theta):
-    return theta[0], theta[1:2] if theta.shape[0] == 2 else theta[1:]
+    return theta[0], theta[1:]
 
 
 def _gh_nodes(state: BQState, opts: BQOptions):
@@ -491,7 +495,10 @@ def Z_var_exact(state: BQState, opts: BQOptions) -> jnp.ndarray:
     g = P.T @ alpha  # (n_s,)
     term_mm = alpha @ (T @ alpha) - jnp.dot(g, linalg.chol_solve(L_tl, g))
     gamma = state.gamma
-    return term_mm + 2.0 * gamma * term_m + gamma * gamma * term0
+    # clamp like the quadrature twins: the closed form is a near-total
+    # cancellation and can land epsilon-negative even in f64 when the true
+    # V[Z] sits at the rounding floor of the intermediates
+    return jnp.maximum(term_mm + 2.0 * gamma * term_m + gamma * gamma * term0, 0.0)
 
 
 def Z_var_gh(state: BQState, opts: BQOptions) -> jnp.ndarray:

@@ -81,6 +81,12 @@ def gp_fit(
     ``ladder=True`` uses the escalating jitter ladder (estimation paths);
     ``ladder=False`` uses a single fixed-jitter factorization and stays
     reverse-differentiable (fitting paths).
+
+    K⁻¹ is computed unconditionally (the extra multi-RHS solve): it is
+    consumed by the f32 ESM hot path, the fused scorer, the incremental
+    bordering algebra (any dtype), and the ``GP.inv_Kxx`` facade — a
+    dtype-conditional cache would break the latter two on f64, and on CPU
+    (the f64 domain) the solve is microseconds.
     """
     theta = jnp.asarray(theta, dtype=x.dtype)
     s = jnp.asarray(s, dtype=x.dtype)
@@ -89,7 +95,10 @@ def gp_fit(
         L, jit_used, ok = linalg.jitter_cholesky(K, mask, base_jitter)
     else:
         L = linalg.cholesky_fixed(K, mask, base_jitter)
-        jit_used = jnp.asarray(base_jitter, x.dtype)
+        # GPState.jitter is in ABSOLUTE units (the ladder branch records
+        # rung*scale); cholesky_fixed applied base_jitter*mean-live-diagonal,
+        # so record the same absolute quantity here.
+        jit_used = jnp.asarray(base_jitter, x.dtype) * linalg._diag_scale(K, mask)
         ok = jnp.all(jnp.isfinite(L))
     ym = jnp.where(mask, y, 0.0)
     eye = jnp.eye(x.shape[0], dtype=x.dtype)

@@ -74,7 +74,25 @@ def choose_next_sharded(
     x_pad, n_real = pad_to_multiple(x_a, n_sp, axis=0)
 
     if hyper_samples is None:
-        hyper_samples = state.gp_log_l.theta[None, :]
+        # Direct scoring on the cached factorizations, exactly like the
+        # unsharded choose_next — wrapping the incumbent θ as a 1-sample
+        # marginalization would re-run the full double-GP refit per device
+        # for a semantic no-op.
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(AXIS_GRID, None)),
+            out_specs=P(AXIS_GRID),
+        )
+        def _scores_direct(st, grid_shard):
+            return acquire.expected_squared_mean(st, opts, grid_shard)
+
+        scores = _scores_direct(state, x_pad)
+        live = jnp.arange(x_pad.shape[0]) < n_real
+        scores = jnp.where(live, scores, -jnp.inf)
+        best = jnp.argmax(scores)
+        return x_pad[best], scores[:n_real]
+
     hyper_pad, n_hyp = pad_to_multiple(jnp.asarray(hyper_samples), n_dp, axis=0)
     w = (jnp.arange(hyper_pad.shape[0]) < n_hyp).astype(state.x_s.dtype)
 
