@@ -20,10 +20,12 @@ bench-all:
 dryrun:
 	$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
+# PYTHONPATH=.: `python examples/x.py` puts examples/ (not the repo root)
+# on sys.path, so the package would not resolve without it
 example:
-	$(PY) examples/active_sampling.py --steps 3
-	$(PY) examples/active_sampling_2d.py --steps 4
-	$(PY) examples/fleet_serving.py --problems 4 --steps 2
+	PYTHONPATH=. $(PY) examples/active_sampling.py --steps 3
+	PYTHONPATH=. $(PY) examples/active_sampling_2d.py --steps 4
+	PYTHONPATH=. $(PY) examples/fleet_serving.py --problems 4 --steps 2
 
 lint:
 	$(PY) -m compileall -q tpubq tests examples bench.py __graft_entry__.py
