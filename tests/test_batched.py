@@ -248,3 +248,26 @@ def test_init_batch_per_problem_measures_1d():
         batched.init_batch(xs[..., None], ls, OPTS,
                            params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
                            x_means=np.zeros(5))
+
+
+def test_ambiguous_shared_measure_warns_when_B_equals_d():
+    """B == d > 1 with 1-D x_means/x_vars resolves to the shared reading but
+    emits a warning pointing at the explicit forms (ADVICE r2)."""
+    import warnings
+
+    rng = np.random.RandomState(0)
+    d = 2
+    xs = rng.uniform(-2, 2, (d, 8, d))  # B == d == 2
+    ls = np.exp(-0.5 * np.sum(xs**2, axis=-1))
+    opts = BQOptions(n_candidate=6, candidate_thresh=0.25, max_obs=16, dim=d)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        states = batched.init_batch(xs, ls, opts, x_means=np.array([0.1, 0.2]),
+                                    x_vars=np.array([1.0, 2.0]))
+    msgs = [str(w.message) for w in rec]
+    assert any("shared" in m for m in msgs)
+    # shared reading: every problem got the same (d,) mean / diagonal
+    np.testing.assert_allclose(np.asarray(states.x_mean),
+                               np.tile([0.1, 0.2], (d, 1)))
+    np.testing.assert_allclose(np.asarray(states.x_var)[:, 0, 0], 1.0)
+    np.testing.assert_allclose(np.asarray(states.x_var)[:, 1, 1], 2.0)

@@ -198,3 +198,19 @@ def test_incremental_loop_matches_full_loop():
     np.testing.assert_allclose(np.asarray(zm_i), np.asarray(zm_f), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(zv_i), np.asarray(zv_f), rtol=1e-6, atol=1e-14)
     assert int(st_inc.ns) == int(st_full.ns) == bq.ns + 6
+
+
+def test_refresh_every_validated():
+    """refresh_every < 1 must raise at trace time, not trace a mod-by-zero
+    (ADVICE r2)."""
+    import pytest
+
+    from tpubq.models.incremental import add_observation_fast
+
+    bq = tu.make_bq()
+    with pytest.raises(ValueError, match="refresh_every"):
+        add_observation_fast(bq.state, bq.options, np.array([0.33]), 0.5,
+                             refresh_every=0)
+    with pytest.raises(ValueError, match="refresh_every"):
+        add_observation_fast(bq.state, bq.options, np.array([0.33]), 0.5,
+                             refresh_every=-3)

@@ -270,3 +270,103 @@ def test_bm_supported_budget_is_batch_aware():
     assert not bm_supported(76, 256)   # multi-step grid double-buffers
     assert not bm_supported(140, 8)
     assert bm_supported(26, 4096)
+
+
+def test_esm_fleet_f32_matches_vmapped_xla_path():
+    """The block-packed fleet scorer (esm_fleet_l/tl + XLA combine) must
+    equal the vmapped single-problem ESM on a shared grid (VERDICT r2 #1).
+    Covers B not divisible by the packing factor and d=1."""
+    import numpy as np
+    from scipy import stats
+
+    from tpubq.models import acquire, batched
+    from tpubq.utils.options import BQOptions
+
+    opts = BQOptions(n_candidate=12, candidate_thresh=0.2, max_obs=16,
+                     dtype="float32")
+    assert batched.fleet_scorer_supported(opts)
+    B = 6  # not a multiple of P_l=4 or P_t=8 — exercises problem padding
+    rng = np.random.RandomState(3)
+    xs = np.stack([np.linspace(-2.2, 2.2, 10) + 0.05 * rng.standard_normal(10)
+                   for _ in range(B)])
+    mus = rng.uniform(-0.5, 0.5, B)
+    ls = np.stack([stats.norm.pdf(xs[i], mus[i], 0.5) for i in range(B)])
+    # per-problem hypers to exercise the per-row packing
+    theta_l = np.stack([[0.3 + 0.02 * b, 0.4 + 0.03 * b] for b in range(B)])
+    theta_tl = np.stack([[0.7 + 0.01 * b, 0.8 - 0.02 * b] for b in range(B)])
+    states = batched.init_batch(xs, ls, opts, params_tl=theta_tl,
+                                params_l=theta_l)
+    grid = np.linspace(-4, 4, 300, dtype=np.float32)[:, None]
+
+    ref = np.asarray(jax.vmap(acquire.expected_squared_mean, (0, None, None))(
+        states, opts, jnp.asarray(grid)
+    ))
+    out = np.asarray(batched.expected_squared_mean_fleet(
+        states, opts, jnp.asarray(grid), interpret=True, tile=256
+    ))
+    assert out.shape == ref.shape == (B, 300)
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-12)
+    # The fleet scorer's adaptive degenerate guard short-circuits points
+    # whose Schur complement is below its bf16x3 dot's roundoff (condition-
+    # aware bound) — a slightly wider band than the vmap f32 path's eps·κ
+    # guard, so near-degenerate points differ by the (small) esm−Z_mean²
+    # gap there; everywhere else the paths agree to the bf16x3 floor.
+    assert np.quantile(rel, 0.95) < 2e-4, np.quantile(rel, 0.95)
+    assert np.quantile(rel, 0.99) < 2e-3, np.quantile(rel, 0.99)
+    assert rel.max() < 1e-2, rel.max()
+
+    # truth anchor: the fleet scorer is as close to the f64 answer as the
+    # vmapped f32 path is (no systematic bias from the packing). Pinned to
+    # the host CPU device: f64 programs on the tunneled TPU silently
+    # produce NaN (f64 correctness belongs on CPU — see conftest notes).
+    opts64 = BQOptions(n_candidate=12, candidate_thresh=0.2, max_obs=16,
+                       dtype="float64")
+    with jax.default_device(jax.devices("cpu")[0]):
+        states64 = batched.init_batch(xs, ls, opts64, params_tl=theta_tl,
+                                      params_l=theta_l)
+        ref64 = np.asarray(jax.vmap(acquire.expected_squared_mean, (0, None, None))(
+            states64, opts64, jnp.asarray(grid, jnp.float64)
+        ))
+    err_fleet = np.abs(out - ref64) / (np.abs(ref64) + 1e-12)
+    err_vmap = np.abs(ref - ref64) / (np.abs(ref64) + 1e-12)
+    assert err_fleet.max() < max(2.0 * err_vmap.max(), 1e-4), (
+        err_fleet.max(), err_vmap.max()
+    )
+
+
+def test_esm_fleet_2d_matches_vmapped_xla_path():
+    """Fleet scorer parity in d=2 (exercises the ζ quad form and the
+    multi-dim row packing)."""
+    import numpy as np
+    from scipy import stats
+
+    from tpubq.models import acquire, batched
+    from tpubq.utils.options import BQOptions
+
+    opts = BQOptions(n_candidate=8, candidate_thresh=0.25, max_obs=16,
+                     dim=2, dtype="float32")
+    assert batched.fleet_scorer_supported(opts)
+    B = 4
+    rng = np.random.RandomState(7)
+    xs = rng.uniform(-2, 2, (B, 9, 2))
+    ls = np.stack([
+        stats.multivariate_normal.pdf(xs[b], 0.1 * b * np.ones(2),
+                                      np.eye(2) * 0.5)
+        for b in range(B)
+    ])
+    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8, 0.9),
+                                params_l=(0.3, 0.5, 0.6))
+    g1 = np.linspace(-3, 3, 18)
+    grid = np.stack(np.meshgrid(g1, g1), axis=-1).reshape(-1, 2)
+
+    ref = np.asarray(jax.vmap(acquire.expected_squared_mean, (0, None, None))(
+        states, opts, jnp.asarray(grid, jnp.float32)
+    ))
+    out = np.asarray(batched.expected_squared_mean_fleet(
+        states, opts, jnp.asarray(grid, jnp.float32), interpret=True, tile=128
+    ))
+    rel = np.abs(out - ref) / (np.abs(ref) + 1e-12)
+    assert np.quantile(rel, 0.99) < 5e-4, np.quantile(rel, 0.99)
+    # isolated adaptive-guard boundary points sit at the esm−Z_mean² band
+    # bias (a few %); see the 1-D test for the contract discussion
+    assert rel.max() < 5e-2, rel.max()

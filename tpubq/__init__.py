@@ -15,7 +15,10 @@ blocked Cholesky, fused MLL+gradient) have Pallas TPU implementations.
 
 Precision note: the correctness targets (1e-6 relative error of E[Z]/V[Z]
 against closed forms) require float64, so x64 is enabled at import. TPU hot
-paths may still run float32/bfloat16 by passing ``dtype`` options.
+paths run float32 via ``dtype="float32"`` options (bfloat16 state is NOT
+supported — the Z/ESM closed forms are cancellation-dominated and lose all
+signal below f32; bf16 on this workload only ever appears inside matmul
+passes, which the matmul-precision pin below already disables).
 """
 
 import os as _os

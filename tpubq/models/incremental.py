@@ -202,6 +202,10 @@ def add_observation_fast(
     count is a multiple of this — bounds float32 roundoff accumulation.
     Exactness in float64 makes any value safe there.
     """
+    if refresh_every < 1:
+        # static int — a free Python check; 0 would trace a mod-by-zero and
+        # silently corrupt the refresh guard (ADVICE r2)
+        raise ValueError(f"refresh_every must be >= 1, got {refresh_every}")
     kfn, kdiagfn = get_kernel(opts.kernel)
     dtype = state.x_s.dtype
     d = state.x_s.shape[1]

@@ -62,6 +62,9 @@ __all__ = [
     "tri_solve_blocked",
     "mll_grad_batched",
     "esm_fused",
+    "esm_fleet_l",
+    "esm_fleet_tl",
+    "fleet_block_geometry",
     "on_tpu",
 ]
 
@@ -666,3 +669,361 @@ def cholesky_batch_major(Ks, interpret=None):
         )(A)
     # out is column-leading: out[c, r, b] = L[b, r, c]
     return jnp.transpose(out[:N, :N, :B], (2, 1, 0))
+
+
+# ---------------------------------------------------------------------------
+# Fleet ESM: block-packed batched scorer (B problems × G candidates)
+# ---------------------------------------------------------------------------
+#
+# The structural problem (VERDICT r2 #1): vmapping the single-problem ESM
+# over a fleet materializes (B, nsc, G) intermediates in HBM — at B=64,
+# G=1e4 that is ~285 MB of traffic per sweep (~520 µs measured on the v5e),
+# so B=64 problems score at barely above the single-problem aggregate rate.
+# The fix is the same trick cholesky_batch_major applied to factorization,
+# adapted to the MXU: PACK the batch into the hardware tile. Each problem's
+# K⁻¹ is only (nsc, nsc) with nsc ≈ 32 ≪ 128, so a lone problem uses ≤ 1/16
+# of a 128×128 MXU pass; packing P = 128 // NPB problems block-diagonally
+# into one (128, 128) operand makes every MXU pass full-tile (efficiency
+# NPB/128 of peak — the zero off-diagonal blocks are the only waste, and
+# that waste is the hardware floor for contractions this short). Everything
+# per-candidate stays in VMEM: HBM traffic is the grid in and (B, G)-sized
+# score components out.
+#
+# Two kernels, packed independently (the two GPs have different row counts,
+# so each gets its own optimal packing):
+#   * esm_fleet_l  — linear-GP side: builds the cross-kernel k, one packed
+#     MXU solve application V = blockdiag(K⁻¹) @ k, segment reductions via a
+#     selector matmul, the analytic ζ quad form, and emits the per-problem
+#     affine coefficients (A, B) plus the degenerate mask.
+#   * esm_fleet_tl — log-GP side: same structure for the posterior moments
+#     (m_a, c_a) at the grid.
+# The lognormal-moment combine is left to XLA (one fused elementwise pass
+# over (B, G) arrays — exactly what XLA is best at).
+#
+# Reference anchor: bq_c.pyx::expected_squared_mean (the per-point scoring
+# loop); the math matches acquire._esm_affine_terms exactly (same Schur /
+# affine algebra, parity-tested against the vmapped XLA path).
+
+
+def fleet_block_geometry(n_rows: int):
+    """(NPB, P): padded per-problem row count and problems per 128-block.
+
+    NPB is ``n_rows`` rounded up to a power-of-two divisor of 128 (8..128);
+    returns None for n_rows > 128 (caller falls back to the vmapped path).
+    """
+    if n_rows > 128:
+        return None
+    npb = 8
+    while npb < n_rows:
+        npb *= 2
+    return npb, 128 // npb
+
+
+def _split_bf16(x):
+    """f32 → (hi, lo) bf16 pair with hi + lo ≈ x to ~2^-16 relative.
+
+    The split is done by BIT MASKING, not by a bf16 round-trip: the
+    environment compiles with --xla_allow_excess_precision=true, under
+    which the compiler elides convert(convert(x, bf16), f32) → x, so the
+    naive ``lo = x - f32(bf16(x))`` folds to ZERO and the x3 correction
+    silently disappears (measured: the "x3" path carried full single-pass
+    2^-8 error). Masking the low mantissa bits produces a value the
+    compiler cannot algebraically identify with x; the hi part is exactly
+    bf16-representable (truncation), and the f32 subtraction is exact.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    ).astype(x.dtype)
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: mantissa already truncated
+    lo = (x - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_bf16(Ah, k, dtype):
+    """Single-pass bf16 matmul (the `fast` fleet mode): ~2^-8 (4e-3)
+    relative error, 1/3 the MXU passes of the bf16x3 default."""
+    return jnp.dot(Ah, k.astype(jnp.bfloat16), preferred_element_type=dtype,
+                   precision=jax.lax.Precision.DEFAULT)
+
+
+def _dot_bf16x3(Ah, Al, k, dtype):
+    """3-pass bf16 matmul of a pre-split f32 LHS against an f32 RHS.
+
+    Mosaic supports only DEFAULT (single-pass bf16) and HIGHEST (6-pass
+    f32) dot precisions; HIGHEST measured ~2× the whole fleet-kernel budget.
+    This is the classic x3 split: hi·hi + hi·lo + lo·hi in f32 accumulation,
+    dropping only the lo·lo term → ~2^-16 (1.5e-5) relative error, which the
+    fleet parity tests bound end-to-end. The LHS (the packed K⁻¹ blocks) is
+    split OUTSIDE the kernel (it is grid-invariant); the RHS k is split
+    per tile.
+    """
+    kh, kl = _split_bf16(k)
+    # precision=DEFAULT explicitly: the package pins the global matmul
+    # default to "highest", which for bf16 operands asks Mosaic for an
+    # fp32 contract it cannot do ("Bad lhs type")
+    D = jax.lax.Precision.DEFAULT
+    acc = jnp.dot(Ah, kh, preferred_element_type=dtype, precision=D)
+    acc = acc + jnp.dot(Ah, kl, preferred_element_type=dtype, precision=D)
+    acc = acc + jnp.dot(Al, kh, preferred_element_type=dtype, precision=D)
+    return acc
+
+
+def _esm_fleet_l_kernel_factory(d, NPB, P, fast=False):
+    """Linear-GP fleet scorer. Per grid step (nb, t): one problem-block of
+    P problems against one tile of T grid points.
+
+    Packed params p_ref (P, 16): [0] κ, [1] zᵀα, [2] ζ scale, [3+j] μ_j,
+    [6+i*d+j] ½(W_l+Σ)⁻¹[i,j]. Scalars s_ref (1, 4) SMEM: [0] thresh,
+    [1] f32 eps, [2] λ — the matmul-noise multiplier of the adaptive
+    degenerate guard (see below).
+    """
+
+    def kernel(s_ref, p_ref, xa_ref, xsc_ref, w_ref, h2_ref, m_ref,
+               Kh_ref, Kl_ref, Kabs_ref, uz_ref, al_ref, a_ref, b_ref, dg_ref):
+        dtype = xsc_ref.dtype
+        thresh = s_ref[0, 0]
+        eps = s_ref[0, 1]
+        lam = s_ref[0, 2]
+        prm = p_ref[0]          # (P, 16) packed per-problem scalars
+        xa = xa_ref[:]          # (d, T)
+        xsc = xsc_ref[0]        # (128, d) packed rows
+        w2i = w_ref[0]          # (128, d)
+        m = m_ref[0]            # (128, 1)
+        T = xa.shape[1]
+
+        r2 = jnp.zeros((xsc.shape[0], T), dtype)
+        if d == 1:
+            # |dj| < thresh  ⇔  r2 = dj²·(0.5/w²) < thresh²·(0.5/w²):
+            # the proximity test reuses r2, no |dj| accumulator needed
+            dj = xsc[:, 0][:, None] - xa[0, :][None, :]
+            r2 = (dj * dj) * w2i[:, 0][:, None]
+            near_rows = r2 < (thresh * thresh) * w2i[:, 0][:, None]
+        else:
+            dmax = jnp.zeros((xsc.shape[0], T), dtype)
+            for j in range(d):  # d ≤ 3, static — unrolled VPU passes
+                dj = xsc[:, j][:, None] - xa[j, :][None, :]
+                r2 = r2 + (dj * dj) * w2i[:, j][:, None]
+                dmax = jnp.maximum(dmax, jnp.abs(dj))
+            near_rows = dmax < thresh
+        k = h2_ref[0] * jnp.exp(-r2) * m                       # (128, T)
+        D = jax.lax.Precision.DEFAULT
+        if fast:
+            kh = k.astype(jnp.bfloat16)
+            V = jnp.dot(Kh_ref[0], kh, preferred_element_type=dtype,
+                        precision=D)
+        else:
+            kh, kl = _split_bf16(k)  # masked split — see _split_bf16
+            V = jnp.dot(Kh_ref[0], kh, preferred_element_type=dtype, precision=D)
+            V = V + jnp.dot(Kh_ref[0], kl, preferred_element_type=dtype, precision=D)
+            V = V + jnp.dot(Kl_ref[0], kh, preferred_element_type=dtype, precision=D)
+        # per-point roundoff amplification of the quadratic form: the packed
+        # K⁻¹ has large cancelling entries for ill-conditioned Grams, so the
+        # reduced-precision dot's error on s1 is ~unit-roundoff × Σ|K⁻¹||k|,
+        # NOT × s1. One single-pass dot against |K⁻¹| bounds it exactly.
+        E = jnp.dot(Kabs_ref[0], kh, preferred_element_type=dtype,
+                    precision=jax.lax.Precision.DEFAULT)
+
+        # segment reductions (per problem within the block) as VPU
+        # reshape-sums: a (P, 128) selector MATMUL would cost a full MXU
+        # stream each (stream time goes with K x N, independent of M = P),
+        # i.e. 4 extra main-matmul-equivalents per instance — measured 3x
+        # the whole kernel. The sublane-split reshape is free.
+        def seg_sum(x):
+            return jnp.sum(x.reshape(P, NPB, T), axis=1)
+
+        s1 = seg_sum(k * V)
+        zv = seg_sum(uz_ref[0] * k)
+        ka = seg_sum(al_ref[0] * k)
+        bound = seg_sum(k * E)  # Σ|k_i| (|K⁻¹||k|)_i — k ≥ 0 for gaussian
+        near_ind = jnp.where(
+            jnp.logical_and(near_rows, m > 0), 1.0, 0.0
+        ).astype(dtype)
+        nearP = jnp.max(near_ind.reshape(P, NPB, T), axis=1)
+
+        kappa = prm[:, 0][:, None]                             # (P, 1)
+        gam = kappa - s1
+        # adaptive guard: a Schur complement smaller than the dot's own
+        # roundoff (λ·bound) is unresolvable at this precision — such points
+        # are effectively degenerate and short-circuit to (zᵀα)², their
+        # limit value, instead of dividing by noise
+        degen = jnp.logical_or(
+            nearP > 0,
+            gam <= jnp.maximum(eps * kappa, lam * bound),
+        )
+
+        # ζ(x_a) per problem: zc · exp(-½ (x_a-μ)ᵀ(W_l+Σ)⁻¹(x_a-μ))
+        q = jnp.zeros((P, T), dtype)
+        for i in range(d):
+            dai = xa[i, :][None, :] - prm[:, 3 + i][:, None]    # (P, T)
+            for j in range(d):
+                daj = xa[j, :][None, :] - prm[:, 3 + j][:, None]
+                q = q + prm[:, 6 + i * d + j][:, None] * dai * daj
+        zeta = prm[:, 2][:, None] * jnp.exp(-q)
+
+        B = (zeta - zv) / jnp.where(degen, 1.0, gam)
+        A = prm[:, 1][:, None] - B * ka
+        a_ref[0] = A
+        b_ref[0] = B
+        dg_ref[0] = degen.astype(dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "fast"))
+def esm_fleet_l(scal, params, grid, xsc, w2inv, h2, msc, Kinv4, uz, alpha,
+                interpret=None, tile=512, fast=False):
+    """Packed linear-GP fleet scorer → (A, B, degen), each (NB*P, Gp).
+
+    Shapes (NB = packed problem blocks, P problems each, NPB rows/problem):
+    scal (1, 2) [thresh, eps]; params (NB, P, 16) packed per-problem scalars;
+    grid (d, G); xsc (NB, 128, d); w2inv/h2/msc/uz/alpha (NB, 128, 1);
+    Kinv4 (NB, 128, 128) block-diagonal. Returns tile-padded arrays — caller
+    slices [:B, :G].
+    """
+    dtype = grid.dtype
+    NB, _, d = xsc.shape
+    P = params.shape[1]
+    NPB = 128 // P
+    G = grid.shape[1]
+    Gp = _round_up(G, tile)
+    g = jnp.tile(grid[:, -1:], (1, Gp)).at[:, :G].set(grid)
+    Kh, Kl = _split_bf16(Kinv4)
+    Kabs = jnp.abs(Kinv4).astype(jnp.bfloat16)
+
+    with _x64_off():
+        A, B, dg = pl.pallas_call(
+            _esm_fleet_l_kernel_factory(d, NPB, P, fast),
+            out_shape=(
+                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
+                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
+                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
+            ),
+            grid=(NB, Gp // tile),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, P, 16), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, tile), lambda nb, t: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, d), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, d), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 1), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 1), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 128), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 128), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 128), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 1), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 1), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, P, tile), lambda nb, t: (nb, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, tile), lambda nb, t: (nb, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, tile), lambda nb, t: (nb, 0, t),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=_interpret(interpret),
+        )(scal, params, g, xsc, w2inv, h2, msc, Kh, Kl, Kabs, uz, alpha)
+    return (A.reshape(NB * P, Gp), B.reshape(NB * P, Gp),
+            dg.reshape(NB * P, Gp))
+
+
+def _esm_fleet_tl_kernel_factory(d, NPB, P, fast=False):
+    """Log-GP fleet moments: m_a (posterior mean) and c_a (posterior
+    variance, clamped at 0) per problem per grid point. Packed params
+    p_ref (P, 8): [0] h_tl² (the prior variance at x_a)."""
+
+    def kernel(p_ref, xa_ref, xs_ref, w_ref, h2_ref, m_ref, Kh_ref,
+               Kl_ref, al_ref, m_out, c_out):
+        dtype = xs_ref.dtype
+        prm = p_ref[0]          # (P, 8)
+        xa = xa_ref[:]
+        xs = xs_ref[0]
+        w2i = w_ref[0]
+        m = m_ref[0]
+        T = xa.shape[1]
+
+        r2 = jnp.zeros((xs.shape[0], T), dtype)
+        for j in range(d):
+            dj = xs[:, j][:, None] - xa[j, :][None, :]
+            r2 = r2 + (dj * dj) * w2i[:, j][:, None]
+        ktl = h2_ref[0] * jnp.exp(-r2) * m
+        if fast:
+            V = _dot_bf16(Kh_ref[0], ktl, dtype)
+        else:
+            V = _dot_bf16x3(Kh_ref[0], Kl_ref[0], ktl, dtype)
+
+
+        def seg_sum(x):
+            return jnp.sum(x.reshape(P, NPB, T), axis=1)
+
+        quad = seg_sum(ktl * V)
+        mean = seg_sum(al_ref[0] * ktl)
+        c = jnp.maximum(prm[:, 0][:, None] - quad, 0.0)
+        m_out[0] = mean
+        c_out[0] = c
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "fast"))
+def esm_fleet_tl(params, grid, xs, w2inv, h2, ms, Kinv4, alpha,
+                 interpret=None, tile=512, fast=False):
+    """Packed log-GP fleet moments → (m_a, c_a), each (NB*P, Gp)."""
+    dtype = grid.dtype
+    NB, _, d = xs.shape
+    P = params.shape[1]
+    NPB = 128 // P
+    G = grid.shape[1]
+    Gp = _round_up(G, tile)
+    g = jnp.tile(grid[:, -1:], (1, Gp)).at[:, :G].set(grid)
+    Kh, Kl = _split_bf16(Kinv4)
+
+    with _x64_off():
+        m_a, c_a = pl.pallas_call(
+            _esm_fleet_tl_kernel_factory(d, NPB, P, fast),
+            out_shape=(
+                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
+                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
+            ),
+            grid=(NB, Gp // tile),
+            in_specs=[
+                pl.BlockSpec((1, P, 8), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, tile), lambda nb, t: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, d), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, d), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 1), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 1), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 128), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 128), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128, 1), lambda nb, t: (nb, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, P, tile), lambda nb, t: (nb, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, tile), lambda nb, t: (nb, 0, t),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=_interpret(interpret),
+        )(params, g, xs, w2inv, h2, ms, Kh, Kl, alpha)
+    return m_a.reshape(NB * P, Gp), c_a.reshape(NB * P, Gp)

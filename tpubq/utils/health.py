@@ -35,9 +35,20 @@ def _factor_stats(L, mask):
 
 def check_state(state: BQState, opts: BQOptions) -> Dict:
     """Diagnostics pytree: jit-safe, no host sync until you read it."""
+    from tpubq.models.bq import Z_var_terms
+
     tl = state.gp_log_l
     li = state.gp_l
+    # Pre-clamp V[Z]: Z_var clamps epsilon-negatives at the rounding floor,
+    # which would also silently mask a genuine sign error in the closed-form
+    # assembly. z_var_clamped_rel separates the two: ~eps is the floor,
+    # O(1) is a bug (VERDICT r2 weak #4).
+    z_raw, z_gross = Z_var_terms(state, opts)
+    tiny = jnp.asarray(jnp.finfo(state.x_s.dtype).tiny, state.x_s.dtype)
     return {
+        "z_var_raw": z_raw,
+        "z_var_gross": z_gross,
+        "z_var_clamped_rel": jnp.maximum(-z_raw, 0.0) / jnp.maximum(z_gross, tiny),
         "ns": state.ns,
         "nc": jnp.sum(state.c_mask.astype(jnp.int32)),
         "capacity_used": state.ns / opts.max_obs,
@@ -64,6 +75,8 @@ def format_report(diag: Dict) -> str:
         f"alpha_tl={bool(d['alpha_tl_finite'])}",
         f"jitter: tl={float(d['jitter_tl']):.2e} l={float(d['jitter_l']):.2e}",
         f"factor_ok: tl={bool(d['factor_ok_tl'])} l={bool(d['factor_ok_l'])}",
+        f"z_var: raw={float(d['z_var_raw']):.3e} gross={float(d['z_var_gross']):.3e} "
+        f"clamped_rel={float(d['z_var_clamped_rel']):.2e}",
     ]
     for name in ("gp_log_l", "gp_l"):
         s = diag[name]
