@@ -1,7 +1,13 @@
-"""Headline benchmark: ESM candidate scoring @1e4 grid (BASELINE.json config 4).
+"""Driver benchmark: ESM candidate scoring @1e4 grid (BASELINE.json config 4)
+plus the other BASELINE configs (VERDICT r2 #5).
 
-Prints ONE JSON line:
+Prints one JSON line per metric, headline first:
   {"metric": ..., "value": pts/s, "unit": "points/s", "vs_baseline": speedup}
+Metrics: esm_candidate_scoring (config 4 inner), marginalize_100samples
+(config 5), active_loop (config 4 outer), fleet_esm_aggregate_B64 (the
+block-packed fleet scorer — B=64 problems scored in one dispatch).
+``--headline`` restricts to the first line (quick runs); ``--all`` is
+accepted for compatibility and is now the default behavior.
 
 ``value`` is this framework's throughput on the default device (the TPU chip
 when present). ``vs_baseline`` is the speedup over a re-creation of the
@@ -361,10 +367,76 @@ def _active_loop_throughput(n_steps=40, k_short=4, k_long=20):
     return 1.0 / step, platform
 
 
+def _fleet_esm_throughput(B=64):
+    """Aggregate ESM points/s scoring B problems' shared 1e4 grid in one
+    dispatch (the block-packed fleet scorer on TPU, the vmapped scorer on
+    CPU — whatever ``expected_squared_mean_batch`` auto-routes to). Same
+    scan-length differencing as the headline; the per-iteration
+    perturbation touches every problem's factors so the fleet precompute
+    re-runs each sweep."""
+    import jax
+
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    import tpubq  # noqa: F401
+    from tpubq.models import batched
+    from tpubq.utils.options import BQOptions
+
+    platform = jax.devices()[0].platform
+    dtype = "float32" if platform != "cpu" else "float64"
+    opts = BQOptions(
+        n_candidate=12, candidate_thresh=0.2, max_obs=16, dtype=dtype,
+        use_pallas=(platform == "tpu"),
+    )
+    rng = np.random.RandomState(0)
+    xs = np.stack([np.linspace(-2.2, 2.2, N_OBS) + 0.03 * rng.standard_normal(N_OBS)
+                   for _ in range(B)])
+    mus = rng.uniform(-0.5, 0.5, B)
+    ls = np.exp(-0.5 * (xs - mus[:, None]) ** 2 / 0.25) / np.sqrt(2 * np.pi * 0.25)
+    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
+                                params_l=(0.3, 0.4))
+    grid = jnp.asarray(np.linspace(-4, 4, N_GRID), opts.np_dtype)[:, None]
+
+    def body(eps, _):
+        gl = states.gp_l._replace(
+            L=states.gp_l.L * (1.0 + eps),
+            alpha=states.gp_l.alpha * (1.0 + eps),
+            Kinv=states.gp_l.Kinv * (1.0 + eps),
+        )
+        gt = states.gp_log_l._replace(
+            alpha=states.gp_log_l.alpha * (1.0 + eps),
+            Kinv=states.gp_log_l.Kinv * (1.0 + eps),
+        )
+        sts = states._replace(gp_l=gl, gp_log_l=gt)
+        sc = batched.expected_squared_mean_batch(sts, opts, grid + eps)
+        return eps + 1e-30 * jnp.mean(sc), jnp.sum(sc)
+
+    def run(n, reps):
+        f = jax.jit(lambda e: jax.lax.scan(body, e, None, length=n))
+        e0 = jnp.asarray(0.0, opts.np_dtype)
+        out = f(e0)
+        jax.block_until_ready(out)
+        assert bool(np.all(np.isfinite(np.asarray(out[1])))), "non-finite fleet ESM"
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(e0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    n_short, n_long = 8, 264
+    t_short, t_long = run(n_short, 5), run(n_long, 5)
+    dt = (t_long - t_short) / (n_long - n_short)
+    if dt <= 0:
+        dt = t_long / n_long
+    return B * N_GRID / dt, platform
+
+
 def main():
     import sys
 
-    all_metrics = "--all" in sys.argv
+    all_metrics = "--headline" not in sys.argv
     # Secondary metrics run FIRST: after the headline's multi-second device
     # programs the tunnel client degrades to a ~1.3 ms-per-dispatch mode for
     # the rest of the process (measured; a fresh process enqueues in ~50 µs,
@@ -412,6 +484,19 @@ def main():
                 "value": round(steps_per_s, 2),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_s / base_steps_per_s, 1),
+            }
+        )
+    )
+    # the reference scores one problem at a time, so its B=64 aggregate
+    # rate equals its single-problem rate — the same baseline applies
+    f_rate, _ = _fleet_esm_throughput()
+    print(
+        json.dumps(
+            {
+                "metric": f"fleet_esm_aggregate_B64_{platform}",
+                "value": round(f_rate, 1),
+                "unit": "points/s",
+                "vs_baseline": round(f_rate / baseline, 1),
             }
         )
     )

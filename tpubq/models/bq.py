@@ -394,8 +394,14 @@ def _gh_nodes(state: BQState, opts: BQOptions):
     dtype = state.x_s.dtype
     d = opts.dim
     # d > 1: per-axis resolution floors chosen so the default n_gh=128 keeps
-    # Z_var_gh under ~0.1% error (measured: 12/axis → 1.5% in 2-D).
-    _floor = {2: 20, 3: 12}
+    # Z_var_gh under ~0.1% error (measured: 12/axis → 1.5% in 2-D). Those
+    # floors assume a smooth (gaussian) integrand; matern-family kernels have
+    # a cusp at the diagonal that defeats GH's spectral convergence —
+    # measured 2-D matern52 z-integral error: 3.3e-2 @ 20/axis, 3.1e-3 @ 40,
+    # 7.2e-4 @ 60 (tests/test_esm_oracle.py pins the 20-vs-60 gap) — so
+    # non-gaussian kernels get higher floors. Raise n_gh beyond the floor
+    # for accuracy-critical non-smooth work.
+    _floor = {2: 20, 3: 12} if opts.kernel == "gaussian" else {2: 48, 3: 16}
     n_axis = opts.n_gh if d == 1 else max(int(np.ceil(opts.n_gh ** (1.0 / d))), _floor.get(d, 8))
     t, w = np.polynomial.hermite_e.hermegauss(n_axis)
     w = w / np.sqrt(2.0 * np.pi)
