@@ -214,3 +214,45 @@ def test_refresh_every_validated():
     with pytest.raises(ValueError, match="refresh_every"):
         add_observation_fast(bq.state, bq.options, np.array([0.33]), 0.5,
                              refresh_every=-3)
+
+
+def test_incremental_auto_window():
+    """``incremental="auto"`` resolves via the measured v5e win window
+    (VERDICT r2 #4 — wins pinned at max_obs 128/192, losses at 96/256)."""
+    from tpubq.models.incremental import INCREMENTAL_AUTO_WINDOW, incremental_auto
+
+    lo, hi = INCREMENTAL_AUTO_WINDOW
+    assert incremental_auto(128) and incremental_auto(192)
+    assert not incremental_auto(96) and not incremental_auto(256)
+    assert not incremental_auto(lo - 1) and incremental_auto(lo)
+    assert incremental_auto(hi - 1) and not incremental_auto(hi)
+
+
+def test_run_active_loop_auto_matches_forced_paths():
+    """The default incremental="auto" must produce the same trajectory as
+    whichever forced path it resolves to (both are exact in f64)."""
+    import jax.numpy as jnp
+
+    from tpubq.models import acquire
+    from tpubq.models.incremental import incremental_auto
+
+    for max_obs, expect_inc in ((32, False), (128, True)):
+        bq = tu.make_bq(max_obs=max_obs)
+        assert incremental_auto(max_obs) is expect_inc
+        grid = jnp.asarray(np.linspace(-4, 4, 101), bq.state.x_s.dtype)[:, None]
+
+        def loglik(x):
+            s2 = tu.SIG_L**2
+            return jnp.exp(-0.5 * (x[0] - tu.MU_L) ** 2 / s2) / jnp.sqrt(
+                2 * jnp.pi * s2
+            )
+
+        st_a, (xs_a, zm_a, _zv_a) = acquire.run_active_loop(
+            bq.state, bq.options, loglik, grid, 4
+        )
+        st_f, (xs_f, zm_f, _zv_f) = acquire.run_active_loop(
+            bq.state, bq.options, loglik, grid, 4, incremental=expect_inc
+        )
+        np.testing.assert_allclose(np.asarray(xs_a), np.asarray(xs_f), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(zm_a), np.asarray(zm_f), rtol=1e-10)
+        assert int(st_a.ns) == int(bq.ns) + 4

@@ -267,3 +267,58 @@ def test_incremental_loop_f32():
     assert np.all(np.isfinite(np.asarray(zm_i)))
     np.testing.assert_allclose(np.asarray(zm_i), np.asarray(zm_f), rtol=1e-3)
     assert abs(float(zm_i[-1]) - tu.true_Z()) / tu.true_Z() < 0.05
+
+
+def test_fleet_checkpoint_roundtrip_f32(tmp_path):
+    """BQFleet save/load (utils/io.py fleet checkpoints) on the f32 device
+    path: exact (factors reloaded) and refit modes must reproduce the
+    estimates (VERDICT r2 #8 — this flow previously had no on-device
+    coverage)."""
+    import tpubq
+
+    xs = np.stack([tu.make_x() + 0.05 * i for i in range(4)])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    fleet = tpubq.BQFleet(xs, ls, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                          n_candidate=12, candidate_thresh=0.2,
+                          dtype="float32", max_obs=16)
+    zm = fleet.Z_mean()
+    p = str(tmp_path / "fleet_f32.npz")
+    fleet.save(p)
+    back = tpubq.BQFleet.load(p)
+    np.testing.assert_allclose(back.Z_mean(), zm, rtol=1e-6)
+    assert back.options.dtype == "float32"
+    refit = tpubq.BQFleet.load(p, refit=True)
+    np.testing.assert_allclose(refit.Z_mean(), zm, rtol=1e-4)
+
+
+def test_health_check_under_vmap_f32():
+    """utils.health.check_state is documented jit-safe; the fleet usage vmaps
+    it over the batch axis — pin that it traces and returns per-problem
+    diagnostics on the f32 path (VERDICT r2 #8)."""
+    import jax
+
+    from tpubq.models import batched
+    from tpubq.utils import health
+
+    xs = np.stack([tu.make_x() + 0.05 * i for i in range(3)])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    import tpubq
+
+    fleet = tpubq.BQFleet(xs, ls, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                          n_candidate=12, candidate_thresh=0.2,
+                          dtype="float32", max_obs=16)
+    diag = jax.jit(
+        jax.vmap(health.check_state, (0, None)), static_argnums=1
+    )(fleet._states, fleet.options)
+    assert diag["ns"].shape == (3,)
+    assert np.all(np.asarray(diag["factor_ok_tl"]))
+    assert np.all(np.asarray(diag["factor_ok_l"]))
+    assert np.all(np.asarray(diag["alpha_l_finite"]))
+    # the new pre-clamp V[Z] diagnostics vmap too; a healthy state's clamped
+    # mass is at the rounding floor, far below O(1)
+    assert diag["z_var_clamped_rel"].shape == (3,)
+    assert np.all(np.asarray(diag["z_var_clamped_rel"]) < 1e-2)
+    # per-problem report formatting pulls one problem out
+    one = jax.tree_util.tree_map(lambda a: a[0], diag)
+    txt = health.format_report(one)
+    assert "z_var" in txt and "factor_ok" in txt

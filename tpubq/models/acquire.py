@@ -401,7 +401,7 @@ def add_observation(state: BQState, opts: BQOptions, x_a, l_a) -> BQState:
 )
 def run_active_loop(
     state: BQState, opts: BQOptions, loglik_fn, x_grid, n_steps: int,
-    hyper_samples=None, incremental: bool = False, refresh_every: int = 16,
+    hyper_samples=None, incremental="auto", refresh_every: int = 16,
 ):
     """Closed active-sampling loop as ``lax.scan`` (the reference's outer
     choose → evaluate → add loop, bq.py usage pattern).
@@ -421,17 +421,19 @@ def run_active_loop(
     is then marginalized over them (the reference's ``choose_next(x, n)``
     inside its loop). Returns (final_state, per-step (x_next, Z_mean, Z_var)).
 
-    ``incremental=True`` grows the GPs with the exact bordering /
+    ``incremental``: ``"auto"`` (default) selects the exact bordering /
     block-Woodbury updates of ``tpubq.models.incremental`` instead of the
-    full per-step refit. OFF by default — measured on v5e (f32, max_obs=64,
-    40-step loops, RTT-amortized): full refit 136 µs/step vs incremental
-    152 µs/step. The step is dispatch-latency-bound, not FLOP-bound, and the
-    incremental path's longer op chain + ``lax.cond`` sync outweigh the
-    O(N³)→O(N²) FLOP saving at reference problem sizes; the crossover is at
-    much larger max_obs (where the multi-RHS K⁻¹ solve dominates). Same
-    measured-dispatch story as the Pallas kernels — see PARITY.md.
+    full per-step refit exactly when ``opts.max_obs`` is inside the
+    measured win window (v5e f32, benchmarks/large_n.py: incremental wins
+    1.07–1.38× only for max_obs ≈ 128–192 — below, the step is
+    dispatch-latency-bound and the shorter refit chain wins; above, both
+    paths are O(N³) and XLA's fused refit has the better constant; full
+    table in models/incremental.py). Pass True/False to force a path.
     """
-    from tpubq.models.incremental import add_observation_fast
+    from tpubq.models.incremental import add_observation_fast, incremental_auto
+
+    if incremental == "auto":
+        incremental = incremental_auto(opts.max_obs)
 
     def step(st, _):
         x_next, _scores = choose_next(st, opts, x_grid, hyper_samples)

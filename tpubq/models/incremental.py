@@ -47,16 +47,20 @@ in float64 a fast-path ``add_observation_fast`` matches the full refit to
 roundoff (tested at 1e-9). The fallback keeps the escalating jitter ladder
 for the hard cases.
 
-MEASURED VERDICT (why this is opt-in, not the default): at reference
-problem sizes the active-loop step is dispatch-latency-bound, and this
-path's longer chain of small ops plus the ``lax.cond`` sync cost MORE than
-the factorization FLOPs it saves — 152 µs/step vs the plain refit's
-136 µs/step (v5e, f32, max_obs=64, RTT-amortized). The profitable lever at
-these sizes turned out to be removing per-step control flow from the jitter
-ladder instead (``tpubq.ops.linalg.jitter_cholesky``, f32 unrolled rungs:
-refit 127 → 64 µs/step). This module remains correct, tested, and the right
-tool for the large-``max_obs`` regime where the O(N³) multi-RHS K⁻¹ solve
-dominates.
+MEASURED VERDICT (rounds 2–3, v5e f32, RTT-amortized closed loops —
+benchmarks/large_n.py): the win region is a WINDOW, not "large N".
+µs/step refit vs incremental: 64: 136/152 · 96: 94/110 · **128: 193/140
+(1.38×)** · **192: 214/199 (1.07×)** · 256: 297/317 · 512: 602/721 ·
+1024: 1450/1798. Below the window the step is dispatch-latency-bound and
+this path's longer small-op chain + ``lax.cond`` sync cost more than the
+FLOPs it saves. Inside the window (the live set just crossing the 128-row
+MXU tile) the refit's multi-RHS K⁻¹ solve jumps in cost and the bordered
+update dodges it. ABOVE the window the old "large-max_obs payoff" claim is
+measured FALSE: the fast path still recomputes the linear GP's Cholesky
+every step (bordering cannot track interleaved candidate deletions), so
+both paths are O(N³) and XLA's fused refit has the better constant.
+``run_active_loop(incremental="auto")`` (the default) applies this table
+via ``incremental_auto``; pass True/False to override.
 
 Do NOT use under ``vmap`` (fleet paths): ``lax.cond`` lowers to ``select``
 under batching, executing *both* branches — the full refit then runs every
@@ -84,7 +88,22 @@ __all__ = [
     "gp_border_add",
     "delete_candidate_slots_kinv",
     "add_observation_fast",
+    "incremental_auto",
+    "INCREMENTAL_AUTO_WINDOW",
 ]
+
+#: max_obs window where the incremental path beats the full refit,
+#: measured on the v5e (f32 closed loops — module docstring table; wins
+#: pinned at 128 and 192, losses at 96 and 256; bounds split the measured
+#: points). Re-measure with benchmarks/large_n.py when kernels change.
+INCREMENTAL_AUTO_WINDOW = (112, 224)
+
+
+def incremental_auto(max_obs: int) -> bool:
+    """Resolve ``incremental="auto"``: True iff ``max_obs`` is inside the
+    measured win window (see INCREMENTAL_AUTO_WINDOW)."""
+    lo, hi = INCREMENTAL_AUTO_WINDOW
+    return lo <= max_obs < hi
 
 
 

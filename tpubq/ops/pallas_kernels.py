@@ -24,22 +24,30 @@ All kernels run in interpret mode off-TPU (CPU tests exercise the same
 code); wrappers pad shapes to tile boundaries with identity rows (the
 pad_gram convention of tpubq.ops.linalg).
 
-Dispatch status (measured on the v5e, round 2 — benchmarks/pallas_vs_xla.py
-and PARITY.md): the PRODUCTION Pallas paths are ``mll_grad_batched`` (via
-fit_params_fused) and ``cholesky_batch_major`` (via
-linalg.posdef_cholesky's custom_vmap rule on every vmapped f32
-factorization: fleet and marginalize paths). The rest LOSES to XLA at the
-sizes this workload reaches: the Gram because XLA fuses it into consumers
-and never materializes it; per-matrix Cholesky/tri-solve because XLA's TPU
-custom calls beat the vectorized column algorithm 2–5× (and the blocked
-kernels are VMEM-resident, N ≲ 1024 f32); and even ``esm_fused``, once K⁻¹
-is cached in GPState and applied as MXU matmuls, measures ~0.7× the
-pure-XLA scoring path. The lesson that survived two rounds of measuring:
-XLA's fusion is the speed of light for single small problems, but its
-BATCHED factorizations serialize one custom call per matrix — putting the
-batch in the VPU lane dimension is the one structural trick XLA cannot
-apply itself, and that is where a handwritten kernel wins (9–45× at this
-workload's batch shapes; see ``cholesky_batch_major``).
+Dispatch status (measured on the v5e, rounds 2–3 —
+benchmarks/pallas_vs_xla.py, benchmarks/large_n.py, PARITY.md): the
+PRODUCTION Pallas paths are ``mll_grad_batched`` (via fit_params_fused),
+``cholesky_batch_major`` (via linalg.posdef_cholesky's custom_vmap rule on
+every vmapped f32 factorization: fleet and marginalize paths), and
+``esm_fleet_l``/``esm_fleet_tl`` (the block-packed fleet scorer — the
+shared-grid f32 gaussian route of batched.expected_squared_mean_batch).
+The rest LOSES to XLA at the sizes this workload reaches: the Gram because
+XLA fuses it into consumers and never materializes it; per-matrix
+Cholesky/tri-solve because XLA's TPU custom calls beat the vectorized
+column algorithm at EVERY VMEM-feasible size (round-3 sweep, f32
+scan-differenced: XLA 10.5/31.8/108/220 µs vs blocked Pallas
+43/118/261/573 µs at N=128/256/512/1024 — there is no large-N crossover
+inside the kernel's N ≲ 1024 VMEM range, so "payoff at large N" is
+RETIRED, not pending); and even ``esm_fused``, once K⁻¹ is cached in
+GPState and applied as MXU matmuls, measures ~0.7× the pure-XLA scoring
+path. The lesson that survived three rounds of measuring: XLA's fusion is
+the speed of light for single small problems, but it has two structural
+blind spots a handwritten kernel can exploit — BATCHED factorizations
+serialize one custom call per matrix (putting the batch in the VPU lane
+dimension wins 9–45×, see ``cholesky_batch_major``), and batched small
+matmuls over per-problem operands run as a loop over B (packing problems
+into one block-diagonal MXU contraction wins ~2–4× aggregate, see
+``esm_fleet_l``).
 """
 
 from __future__ import annotations
