@@ -4,6 +4,7 @@ same tests run compiled when TPUBQ_TEST_TPU=1)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpubq.models import gp as gpm
 from tpubq.ops import pallas_kernels as pk
@@ -369,4 +370,62 @@ def test_esm_fleet_2d_matches_vmapped_xla_path():
     assert np.quantile(rel, 0.99) < 5e-4, np.quantile(rel, 0.99)
     # isolated adaptive-guard boundary points sit at the esm−Z_mean² band
     # bias (a few %); see the 1-D test for the contract discussion
+    assert rel.max() < 5e-2, rel.max()
+
+
+@pytest.mark.parametrize("max_obs,n_candidate,B", [
+    (48, 14, 5),    # nsc pads to NPB=64 -> P_l=2 per block
+    (112, 14, 3),   # nsc pads to NPB=128 -> P_l=1 (degenerate packing)
+])
+def test_esm_fleet_geometry_boundaries_f32(max_obs, n_candidate, B):
+    """Fleet scorer packing correctness at the big-block geometries: P=2
+    and the P=1 single-problem-per-block edge (the 1-D/2-D tests cover
+    P=4/P=8). The packing math (_pack_rows/_pack_blockdiag, segment
+    reductions) is geometry-dependent, so every reachable (NPB, P) needs a
+    pin — but these geometries are NOT auto-dispatched
+    (fleet_scorer_supported caps at P >= 4): the bf16x3 dot error grows
+    with per-problem row count and by NPB=64 is ~30x the vmapped f32
+    path's distance from f64 truth. Tolerances here reflect that measured
+    noise model; the explicit-call path stays available and correct."""
+    import numpy as np
+    from scipy import stats
+
+    from tpubq.models import acquire, batched
+    from tpubq.ops.pallas_kernels import fleet_block_geometry
+    from tpubq.utils.options import BQOptions
+
+    opts = BQOptions(n_candidate=n_candidate, candidate_thresh=0.12,
+                     max_obs=max_obs, dtype="float32")
+    assert not batched.fleet_scorer_supported(opts)  # precision boundary
+    npb_l, p_l = fleet_block_geometry(opts.max_nsc)
+    assert p_l in (1, 2)
+
+    # Wide domain + observation noise keep the dense live set conditioned
+    # in f32: a smooth-kernel Gram over 42-106 near-capacity points is
+    # otherwise numerically singular at f32 (measured: s=0 on [-2.2, 2.2]
+    # makes even the plain vmapped f32 scorer ~27% off the f64 truth, with
+    # the packed path tracking it to 4e-4 — equal wrongness is parity of a
+    # sort, but a meaningless testbed; notably the packed path's ADAPTIVE
+    # guard capped its worst-point error at 3.4e-2 where the vmapped eps·κ
+    # guard let a 9.0 blowup through).
+    rng = np.random.RandomState(11)
+    n_obs = max_obs - 6  # live set near capacity: rows fill the block
+    half = 0.09 * n_obs
+    xs = np.stack([np.sort(rng.uniform(-half, half, n_obs)) for _ in range(B)])
+    mus = rng.uniform(-0.5, 0.5, B)
+    ls = np.stack([stats.norm.pdf(xs[b], mus[b], 1.0) + 1e-3 for b in range(B)])
+    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
+                                params_l=(0.3, 0.4), s_tl=0.01, s_l=0.01,
+                                x_means=np.zeros(1), x_vars=4.0 * np.ones(1))
+    grid = np.linspace(-half - 1, half + 1, 257, dtype=np.float32)[:, None]
+
+    ref = np.asarray(jax.vmap(acquire.expected_squared_mean, (0, None, None))(
+        states, opts, jnp.asarray(grid)
+    ))
+    out = np.asarray(batched.expected_squared_mean_fleet(
+        states, opts, jnp.asarray(grid), interpret=True, tile=128
+    ))
+    assert out.shape == ref.shape == (B, 257)
+    rel = np.abs(out - ref) / (np.abs(ref).max(axis=1, keepdims=True) + 1e-30)
+    assert np.quantile(rel, 0.95) < 5e-3, np.quantile(rel, 0.95)
     assert rel.max() < 5e-2, rel.max()

@@ -211,16 +211,28 @@ _LAM_FAST = 4.0 * 2.0**-8
 
 
 def fleet_scorer_supported(opts: BQOptions) -> bool:
-    """Whether the block-packed fleet ESM kernel covers this config:
-    float32 (the TPU serving dtype), gaussian kernel, d ≤ 3, and both GPs'
-    row capacities within one 128-row block."""
+    """Whether the block-packed fleet ESM kernel is the AUTO-dispatched
+    scorer for this config: float32 (the TPU serving dtype), gaussian
+    kernel, d ≤ 3, and max_nsc ≤ 32 (P ≥ 4 problems per 128-row block).
+
+    The row cap is a measured precision boundary, not a packing limit
+    (``expected_squared_mean_fleet`` itself accepts any geometry up to 128
+    rows/problem): the bf16x3 dot's error scales with Σ|K⁻¹||k| — i.e.
+    with per-problem row count × Gram conditioning — and by NPB = 64 the
+    packed scores sit ~30× further from the f64 truth than the vmapped
+    f32 path (q95 1.1e-3 vs 3.8e-5, measured; tests/test_pallas.py
+    geometry-boundary tests pin it). Packing also pays off less there: at
+    P ≤ 2 the per-block contraction is mostly one problem anyway, which
+    is the regime XLA already handles well."""
     from tpubq.ops.pallas_kernels import fleet_block_geometry
 
+    geo = fleet_block_geometry(opts.max_nsc)
     return (
         opts.dtype == "float32"
         and opts.kernel == "gaussian"
         and opts.dim <= 3
-        and fleet_block_geometry(opts.max_nsc) is not None
+        and geo is not None
+        and geo[1] >= 4
         and fleet_block_geometry(opts.max_obs) is not None
     )
 
@@ -309,7 +321,17 @@ def expected_squared_mean_fleet(
     from tpubq.ops import integrals as igr
     from tpubq.ops import pallas_kernels as pk
 
-    assert fleet_scorer_supported(opts), "see fleet_scorer_supported"
+    # Weaker than fleet_scorer_supported on purpose: the explicit-call path
+    # accepts ANY packable geometry (up to 128 rows/problem); the P >= 4 cap
+    # in fleet_scorer_supported is an accuracy-based AUTO-dispatch policy,
+    # not a kernel limit (see its docstring for the measured noise model).
+    from tpubq.ops.pallas_kernels import fleet_block_geometry as _geo
+
+    assert (
+        opts.dtype == "float32" and opts.kernel == "gaussian"
+        and opts.dim <= 3 and _geo(opts.max_nsc) is not None
+        and _geo(opts.max_obs) is not None
+    ), "packed fleet scorer needs f32 gaussian d<=3 with <=128 rows/problem"
     dtype = states.x_s.dtype
     d = opts.dim
     B = states.ns.shape[0]
