@@ -751,3 +751,42 @@ def test_z_var_terms_follow_dispatch():
     # jit (Z_var) vs eager (Z_var_terms) f32 rounding differs slightly
     assert float(raw) == pytest.approx(bq.Z_var(), rel=1e-3)
     assert float(gross) >= float(raw)
+
+
+def test_f32_esm_adaptive_guard_on_singular_gram():
+    """Round-3 robustness regression: on a numerically singular f32 Gram
+    (dense s=0 live set), the Schur complement is pure matmul noise
+    (±5e-5 vs a true 2e-7); the old fixed eps·κ floor let noise-positive
+    draws through and ESM divided by noise — scores 10× the f64 truth
+    (max rel err 9.06 measured) at legitimate grid points. The adaptive
+    ρ·κ·‖k‖₁ floor (acquire._esm_affine_terms) short-circuits unresolvable
+    points to the Z_mean² limit; max error vs f64 truth drops to ~3e-2."""
+    import jax
+    import jax.numpy as jnp
+    from scipy import stats
+
+    from tpubq.models import acquire, batched
+    from tpubq.utils.options import BQOptions
+
+    rng = np.random.RandomState(11)
+    max_obs, n_candidate, B = 48, 14, 5
+    n_obs = max_obs - 6
+    half = 0.09 * n_obs
+    xs = np.stack([np.sort(rng.uniform(-half, half, n_obs)) for _ in range(B)])
+    mus = rng.uniform(-0.5, 0.5, B)
+    ls = np.stack([stats.norm.pdf(xs[b], mus[b], 1.0) + 1e-3 for b in range(B)])
+    grid = np.linspace(-half - 1, half + 1, 257)[:, None]
+    res = {}
+    for dt in ("float32", "float64"):
+        opts = BQOptions(n_candidate=n_candidate, candidate_thresh=0.12,
+                         max_obs=max_obs, dtype=dt)
+        states = batched.init_batch(
+            xs, ls, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+            x_means=np.zeros(1), x_vars=4.0 * np.ones(1),
+        )
+        res[dt] = np.asarray(jax.vmap(
+            acquire.expected_squared_mean, (0, None, None)
+        )(states, opts, jnp.asarray(grid, opts.np_dtype)))
+    scale = np.abs(res["float64"]).max(axis=1, keepdims=True)
+    err = np.abs(res["float32"] - res["float64"]) / scale
+    assert err.max() < 0.1, err.max()  # measured 3.4e-2; was 9.06 unguarded

@@ -97,6 +97,12 @@ def _lognormal_moments(m, c, gamma):
     return E1, E2
 
 
+#: Safety factor × f32 unit roundoff for the adaptive Schur-noise guard
+#: (same construction as the packed fleet kernel's _LAM_X3, scaled to the
+#: f32 dot's ~2⁻²³ unit roundoff with an ~n-term amplification margin).
+_LAM_F32 = 32.0 * 2.0**-23
+
+
 def _esm_affine_terms(state: BQState, opts: BQOptions, x_a):
     """Shared pieces of the ESM: the affine coefficients (A, B), the
     degenerate mask, zᵀα, and the log-GP moments (m_a, c_a). Used by both the
@@ -128,7 +134,31 @@ def _esm_affine_terms(state: BQState, opts: BQOptions, x_a):
     dist = jnp.max(jnp.abs(x_a[:, None, :] - state.x_sc[None, :, :]), axis=-1)
     too_close = jnp.any(jnp.logical_and(dist < opts.candidate_thresh, m_sc[None, :]), axis=1)
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-    degenerate = jnp.logical_or(too_close, gam_s <= eps * kappa)
+    gam_floor = eps * kappa
+    if use_kinv:
+        # Adaptive noise bound (the packed fleet kernel's guard, ported —
+        # see pallas_kernels.esm_fleet_l): with an ill-conditioned Gram,
+        # K⁻¹ has large cancelling entries and the f32 dot's roundoff on
+        # γ_s is ~eps · |k|ᵀ|K⁻¹||k|, NOT ~eps·κ. A point whose true γ_s
+        # sits below its own matmul noise is unresolvable at this
+        # precision; a fixed eps·κ threshold lets its noise-positive draws
+        # through, and B = (ζ − zᵀv)/γ_s divides by noise (measured on a
+        # numerically singular s=0 Gram: f32 scores 10× the f64 truth at
+        # legitimate grid points — γ_s noise ±5e-5 vs eps·κ = 1e-8).
+        # The bound is the matmul-free majorant |k|ᵀ|K⁻¹||k| ≤
+        # ρ·max|k|·‖k‖₁ ≤ ρ·κ·‖k‖₁, with ρ = max abs-row-sum of K⁻¹ (a
+        # per-sweep scalar) and max|k| ≤ kdiag ≤ κ statically (tight
+        # exactly at the near-data points that are at risk; far points
+        # have γ_s ≈ κ and never trip the floor). ~2× looser than the
+        # exact |K⁻¹| matmul bound at the risk points (measured), but
+        # costs one VPU reduce per point instead of doubling the sweep's
+        # MXU work — the exact bound measured a 35% headline regression,
+        # this ~8%. The f64 cho_solve path keeps the reference-faithful
+        # eps·κ (f64 noise is below any realistic γ_s).
+        rho = jnp.max(jnp.sum(jnp.abs(gp_l.Kinv), axis=1))
+        noise = (_LAM_F32 * rho) * kappa * jnp.sum(jnp.abs(k_a), axis=0)
+        gam_floor = jnp.maximum(gam_floor, noise)
+    degenerate = jnp.logical_or(too_close, gam_s <= gam_floor)
     safe_gam = jnp.where(degenerate, 1.0, gam_s)
 
     B = (zeta - z @ v) / safe_gam  # (na,)
