@@ -235,3 +235,28 @@ def test_esm_oracle_2d_matern52():
              n_meas=48)
     _compare("matern52", 2, (0.7, 0.8, 0.9), (0.35, 0.45, 0.4), rtol=5e-3,
              n_meas=96)
+
+
+def _o_periodic(theta):
+    h, w, p = float(theta[0]), float(theta[1]), float(theta[2])
+
+    def K(a, b):
+        s = np.sin((a[:, None, :] - b[None, :, :]) / (2.0 * p)) ** 2
+        return h * h * np.exp(-2.0 * np.sum(s, axis=-1) / (w * w))
+
+    return K, h * h
+
+
+_ORACLE_KERNELS["periodic"] = _o_periodic
+
+
+def test_esm_oracle_1d_periodic():
+    """1-D periodic-kernel ESM vs the oracle — the reference's second
+    kernel family (gp/kernels/periodic.py). No closed form: both sides
+    integrate the measure (matching 128-node GH rule pins the algebra;
+    the denser rule bounds the quadrature — the periodic integrand is
+    smooth, so GH converges fast again)."""
+    _compare("periodic", 1, (0.7, 0.8, 1.0), (0.35, 0.6, 1.0), rtol=1e-6,
+             n_meas=128)
+    _compare("periodic", 1, (0.7, 0.8, 1.0), (0.35, 0.6, 1.0), rtol=1e-4,
+             n_meas=192)

@@ -209,12 +209,19 @@ def fleet_choose_next_sharded(states: BQState, opts: BQOptions, x_a, mesh: Mesh)
         mesh=mesh,
         in_specs=(P(AXIS_SAMPLE), P(AXIS_GRID, None)),
         out_specs=(P(AXIS_SAMPLE), P(AXIS_SAMPLE, AXIS_GRID)),
+        # pallas_call outputs carry no varying-mesh-axes metadata, so the
+        # vma checker rejects the packed fleet kernel inside shard_map;
+        # the sharded==unsharded equality tests pin correctness instead.
+        check_vma=False,
     )
     def _score(sts, grid_shard):
-        # (B_local, G_local) scores for this device's block
-        scores = jax.vmap(
-            lambda st: acquire.expected_squared_mean(st, opts, grid_shard)
-        )(sts)
+        # (B_local, G_local) scores for this device's block, through the
+        # fleet auto-dispatcher: on TPU meshes each device scores its
+        # problem-slice with the block-packed Pallas fleet kernel
+        # (PARITY.md addendum (e)); elsewhere the vmapped XLA scorer.
+        from tpubq.models.batched import expected_squared_mean_batch
+
+        scores = expected_squared_mean_batch(sts, opts, grid_shard)
         # global grid indices of this shard
         g0 = jax.lax.axis_index(AXIS_GRID) * grid_shard.shape[0]
         local_best = jnp.argmax(scores, axis=1)
