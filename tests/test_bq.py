@@ -790,3 +790,43 @@ def test_f32_esm_adaptive_guard_on_singular_gram():
     scale = np.abs(res["float64"]).max(axis=1, keepdims=True)
     err = np.abs(res["float32"] - res["float64"]) / scale
     assert err.max() < 0.1, err.max()  # measured 3.4e-2; was 9.06 unguarded
+
+
+def test_measure_and_gamma_validation():
+    """Round-3 robustness: a negative/indefinite x_var previously NaN'd
+    every estimate silently, and gamma <= 0 produced silently-wrong
+    results (log of a non-positive transform). Both now raise at
+    construction, single-problem and fleet."""
+    import pytest
+
+    from tpubq.models import batched
+
+    x = np.linspace(-2, 2, 8)
+    l = np.exp(-(x**2))
+    with pytest.raises(ValueError, match="positive semi-definite"):
+        tpubq.BQ(x, l, x_mean=0.0, x_var=-1.0)
+    with pytest.raises(ValueError, match="gamma"):
+        tpubq.BQ(x, l, x_mean=0.0, x_var=1.0, gamma=0.0)
+    with pytest.raises(ValueError, match="gamma"):
+        tpubq.BQ(x, l, x_mean=0.0, x_var=1.0, gamma=-2.0)
+    with pytest.raises(ValueError, match="positive semi-definite"):
+        tpubq.BQ(np.stack([x, x + 0.3], 1), l, dim=2, x_mean=np.zeros(2),
+                 x_var=np.array([[1.0, 2.0], [2.0, 1.0]]))
+    # x_var = 0 is a legitimate degenerate measure (delta at x_mean)
+    bq0 = tpubq.BQ(x, l, n_candidate=8, candidate_thresh=0.2,
+                   x_mean=0.0, x_var=0.0)
+    bq0.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    assert abs(bq0.Z_mean() - 1.0) < 0.1  # Z -> l(0) = 1
+
+    from tpubq.utils.options import BQOptions
+
+    opts = BQOptions(n_candidate=8, candidate_thresh=0.2, max_obs=16)
+    xs = np.stack([x, x + 0.1])
+    ls = np.stack([l, l])
+    with pytest.raises(ValueError, match="positive semi-definite"):
+        batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
+                           params_l=(0.3, 0.4), x_means=np.zeros(1),
+                           x_vars=-1.0 * np.ones(1))
+    with pytest.raises(ValueError, match="gamma"):
+        batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
+                           params_l=(0.3, 0.4), gamma=0.0)

@@ -65,6 +65,14 @@ class BQ:
         (self.options, self._x_mean0, self._x_var0, self._gamma0,
          self.s_tl, self.s_l, seed) = parse_bq_kwargs(options, x.shape[1], x.shape[0])
 
+        # Fail fast at construction (init_state re-validates, but that only
+        # runs at .init()): an indefinite measure silently NaNs every
+        # estimate, gamma <= 0 makes the exp-transform undefined.
+        if self._x_var0 is not None:
+            bqm.validate_measure(np.asarray(self._x_var0))
+        if not np.isfinite(self._gamma0) or self._gamma0 <= 0.0:
+            raise ValueError(f"gamma must be finite and > 0, got {self._gamma0}")
+
         self._x0 = x
         self._l0 = l
         self._state: Optional[bqm.BQState] = None

@@ -137,6 +137,11 @@ def init_batch(
         if x_vars.ndim == 2:
             x_vars = np.broadcast_to(x_vars, (B, d, d))
     x_vars = np.asarray(x_vars, dtype).reshape(B, d, d)
+    # init_state runs under vmap below and sees tracers, so the measure/
+    # gamma validation happens here on the concrete batch instead.
+    bqm.validate_measure(x_vars)
+    if not np.isfinite(float(gamma)) or float(gamma) <= 0.0:
+        raise ValueError(f"gamma must be finite and > 0, got {gamma}")
 
     def _per_problem(params):
         p = np.asarray(params, dtype)

@@ -225,6 +225,25 @@ def validate_theta(theta, opts: BQOptions, name="theta"):
         )
 
 
+def validate_measure(x_var) -> None:
+    """Raise if a (possibly batched) measure covariance is not PSD.
+
+    Accepts (d, d), (B, d, d), (d,)/(B,) diagonals, or scalars (numpy,
+    host-side). Shared by init_state (single problem) and
+    batched.init_batch (fleet — where init_state itself runs under vmap
+    and sees tracers)."""
+    import numpy as _np
+
+    v = _np.asarray(x_var, _np.float64)
+    ev = _np.linalg.eigvalsh(v) if v.ndim >= 2 else v
+    if not _np.all(_np.isfinite(ev)) or _np.min(ev) < 0.0:
+        raise ValueError(
+            "x_var must be positive semi-definite; got "
+            f"{'eigenvalues' if v.ndim >= 2 else 'variances'} "
+            f"min {_np.min(ev)}"
+        )
+
+
 def init_state(
     x,
     l,
@@ -279,6 +298,23 @@ def init_state(
             x_var = jnp.eye(d, dtype=dtype) * x_var
         elif x_var.ndim == 1:
             x_var = jnp.diag(x_var)
+    # The measure covariance must be PSD: a negative/indefinite x_var
+    # propagates as sqrt-of-negative through every closed-form integral
+    # and silently NaNs all estimates. Host check on concrete
+    # construction data; under vmap (init_batch builds the fleet in one
+    # compiled program) x_var is a tracer and the caller validates the
+    # full batch instead (batched.init_batch).
+    import numpy as _np
+
+    if not isinstance(x_var, jax.core.Tracer):
+        validate_measure(_np.asarray(x_var))
+    if not isinstance(gamma, jax.core.Tracer):
+        gamma_f = float(gamma)
+        if not _np.isfinite(gamma_f) or gamma_f <= 0.0:
+            # γ scales the exp-transform tl = log(l/γ + 1); γ ≤ 0 makes
+            # the transform undefined (log of ≤ 0) and previously
+            # produced silently wrong estimates instead of an error.
+            raise ValueError(f"gamma must be finite and > 0, got {gamma}")
 
     theta_tl = jnp.asarray(params_tl, dtype=dtype)
     theta_l = jnp.asarray(params_l, dtype=dtype)
