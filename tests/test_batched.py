@@ -271,3 +271,26 @@ def test_ambiguous_shared_measure_warns_when_B_equals_d():
                                np.tile([0.1, 0.2], (d, 1)))
     np.testing.assert_allclose(np.asarray(states.x_var)[:, 0, 0], 1.0)
     np.testing.assert_allclose(np.asarray(states.x_var)[:, 1, 1], 2.0)
+
+
+def test_expected_Z_var_batch_identity_f32():
+    """Fleet expected_Z_var == Z_mean^2 + Z_var - ESM per problem, and each
+    row matches the single-problem acquire.expected_Z_var."""
+    import jax
+
+    from tpubq.models import acquire
+
+    opts = BQOptions(n_candidate=10, candidate_thresh=0.2, max_obs=16,
+                     dtype="float32")
+    xs = np.stack([np.linspace(-2.2, 2.2, 10)] * 3)
+    ls = np.stack([stats.norm.pdf(xs[i], MUS[i], SIGS[i]) for i in range(3)])
+    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
+                                params_l=(0.3, 0.4))
+    grid = jnp.asarray(np.linspace(-3, 3, 101), jnp.float32)[:, None]
+    out = batched.expected_Z_var_batch(states, opts, grid)
+    ref = jax.vmap(acquire.expected_Z_var, (0, None, None))(states, opts, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=1e-6)
+    fleet = batched.BQFleet.from_states(states, opts)
+    np.testing.assert_allclose(fleet.expected_Z_var(grid), np.asarray(out),
+                               rtol=1e-6)

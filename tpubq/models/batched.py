@@ -30,6 +30,7 @@ __all__ = [
     "Z_var_batch",
     "expected_squared_mean_batch",
     "expected_squared_mean_fleet",
+    "expected_Z_var_batch",
     "fleet_scorer_supported",
     "choose_next_batch",
     "add_observation_batch",
@@ -479,6 +480,21 @@ def expected_squared_mean_fleet(
     return jnp.where(dg > 0, (zTa * zTa)[:, None], esm)
 
 
+@partial(jax.jit, static_argnames=("opts", "per_problem", "fast"))
+def expected_Z_var_batch(
+    states: BQState, opts: BQOptions, grids, per_problem: bool = False,
+    fast: bool = False,
+) -> jnp.ndarray:
+    """(B, G) expected posterior variance after sampling each grid point:
+    Z_mean² + Z_var − ESM per problem (acquire.expected_Z_var, batched;
+    the ESM term routes through the fleet auto-dispatcher)."""
+    zm = Z_mean_batch(states, opts)
+    zv = Z_var_batch(states, opts)
+    esm = expected_squared_mean_batch(states, opts, grids, per_problem,
+                                      fast=fast)
+    return (zm * zm + zv)[:, None] - esm
+
+
 def _batch_size(states: BQState) -> int:
     return states.ns.shape[0]
 
@@ -596,6 +612,13 @@ class BQFleet:
         return np.asarray(
             expected_squared_mean_batch(self._states, self.options, grid,
                                         per_problem, fast=fast)
+        )
+
+    def expected_Z_var(self, grid, per_problem: bool = False,
+                       fast: bool = False) -> np.ndarray:
+        return np.asarray(
+            expected_Z_var_batch(self._states, self.options, grid,
+                                 per_problem, fast=fast)
         )
 
     # -- active sampling -------------------------------------------------------
