@@ -294,3 +294,39 @@ def test_expected_Z_var_batch_identity_f32():
     fleet = batched.BQFleet.from_states(states, opts)
     np.testing.assert_allclose(fleet.expected_Z_var(grid), np.asarray(out),
                                rtol=1e-6)
+
+
+def test_fleet_fit_sample_marginalize():
+    """The fleet hyper surface (fit / sample_hypers / marginalize) matches
+    per-problem BQ behavior: fitting improves each problem's estimate
+    toward its own truth, samples differ across problems, marginalized
+    moments are finite and near the per-problem Z."""
+    from scipy import stats as st
+
+    xs = np.stack([np.linspace(-2.2, 2.2, 10)] * 3)
+    ls = np.stack([st.norm.pdf(xs[i], MUS[i], SIGS[i]) for i in range(3)])
+    fleet = batched.BQFleet(xs, ls, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                            n_candidate=10, candidate_thresh=0.2, max_obs=16)
+    fleet.fit(seed=0)
+    # per-problem hypers should now differ (each problem has its own data)
+    th = np.asarray(fleet._states.gp_log_l.theta)
+    assert not np.allclose(th[0], th[1])
+    truths = [float(st.norm.pdf(MUS[i], 0.0, np.sqrt(1 + SIGS[i] ** 2)))
+              for i in range(3)]
+    zm = fleet.Z_mean()
+    assert np.all(np.abs(zm - truths) / truths < 0.2)
+
+    hs = fleet.sample_hypers(n=20, seed=1)
+    assert hs.shape[:2] == (3, 20)
+    assert not np.allclose(hs[0], hs[1])  # independent per-problem chains
+
+    zms, zvs = fleet.marginalize(n=20, seed=2)
+    assert zms.shape == zvs.shape == (3, 20)
+    assert np.all(np.isfinite(zms)) and np.all(zvs >= 0)
+    assert np.all(np.abs(zms.mean(axis=1) - truths) / np.asarray(truths) < 0.3)
+
+    # params subset: only 'w' moves, 'h' stays bit-identical
+    before = np.asarray(fleet._states.gp_log_l.theta).copy()
+    fleet.fit(params=("w",), seed=3)
+    after = np.asarray(fleet._states.gp_log_l.theta)
+    np.testing.assert_array_equal(before[:, 0], after[:, 0])

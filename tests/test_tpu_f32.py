@@ -322,3 +322,23 @@ def test_health_check_under_vmap_f32():
     one = jax.tree_util.tree_map(lambda a: a[0], diag)
     txt = health.format_report(one)
     assert "z_var" in txt and "factor_ok" in txt
+
+
+def test_fleet_hyper_surface_f32():
+    """Fleet fit / sample_hypers / marginalize on the f32 device path."""
+    import tpubq
+
+    xs = np.stack([tu.make_x() + 0.05 * i for i in range(3)])
+    ls = np.stack([tu.f_l(x) for x in xs])
+    fleet = tpubq.BQFleet(xs, ls, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                          n_candidate=12, candidate_thresh=0.2,
+                          dtype="float32", max_obs=16)
+    fleet.fit(seed=0, ntry=4)
+    zm = fleet.Z_mean()
+    assert np.all(np.isfinite(zm))
+    assert np.all(np.abs(zm - tu.true_Z()) / tu.true_Z() < 0.25)
+    hs = fleet.sample_hypers(n=10, seed=1)
+    assert hs.shape[:2] == (3, 10) and np.all(np.isfinite(hs))
+    zms, zvs = fleet.marginalize(n=10, seed=2)
+    assert zms.shape == (3, 10) and np.all(np.isfinite(zms))
+    assert np.all(zvs >= 0)

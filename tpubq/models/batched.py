@@ -31,6 +31,9 @@ __all__ = [
     "expected_squared_mean_batch",
     "expected_squared_mean_fleet",
     "expected_Z_var_batch",
+    "fit_batch",
+    "sample_hypers_batch",
+    "marginalize_batch",
     "fleet_scorer_supported",
     "choose_next_batch",
     "add_observation_batch",
@@ -495,6 +498,80 @@ def expected_Z_var_batch(
     return (zm * zm + zv)[:, None] - esm
 
 
+@partial(jax.jit, static_argnames=("opts", "ntry"))
+def fit_batch(states: BQState, opts: BQOptions, key, ntry: int = 10,
+              free_mask=None) -> BQState:
+    """Per-problem multi-restart MLL fit of both GPs (the fleet spelling of
+    ``BQ.fit_hypers``): each problem fits θ_tl on its observations,
+    re-anchors its candidates, then fits θ_l — all B × ntry restarts in
+    one compiled program (vmap over problems of the vmapped-restart
+    L-BFGS). ``free_mask``: optional (p,) bool shared across the fleet
+    (reference ``fit_hypers(params)`` subsets)."""
+    from tpubq.models import fit as fitm
+
+    B = states.ns.shape[0]
+    keys = jax.random.split(key, B)
+
+    def one(st, k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        inits_tl = fitm.random_restarts(
+            k1, st.gp_log_l.theta, st.x_s, st.tl_s, st.obs_mask, ntry,
+            kernel=opts.kernel,
+        )
+        th_tl, _ = fitm.fit_params(
+            opts.kernel, st.gp_log_l.theta, st.gp_log_l.s, st.x_s, st.tl_s,
+            st.obs_mask, k2, inits_tl, free_mask=free_mask,
+        )
+        st = bqm.set_params(st, opts, theta_tl=th_tl)
+        l_sc = jnp.where(st.sc_mask, st.l_sc, 0.0)
+        inits_l = fitm.random_restarts(
+            k3, st.gp_l.theta, st.x_sc, l_sc, st.sc_mask, ntry,
+            kernel=opts.kernel,
+        )
+        th_l, _ = fitm.fit_params(
+            opts.kernel, st.gp_l.theta, st.gp_l.s, st.x_sc, l_sc,
+            st.sc_mask, k4, inits_l, free_mask=free_mask,
+        )
+        return bqm.set_params(st, opts, theta_l=th_l)
+
+    return jax.vmap(one)(states, keys)
+
+
+@partial(jax.jit, static_argnames=("opts", "n", "nburn", "params", "n_chains"))
+def sample_hypers_batch(states: BQState, opts: BQOptions, key, n: int,
+                        nburn: int = 10, params=None, n_chains: int = 1,
+                        prior_std: float = None) -> jnp.ndarray:
+    """(B, n, p) per-problem hyper-posterior draws — vmapped
+    ``marginalize.sample_hypers`` with an independent key per problem."""
+    from tpubq.models import marginalize as margm
+
+    if prior_std is None:
+        prior_std = margm._PRIOR_STD
+    B = states.ns.shape[0]
+    keys = jax.random.split(key, B)
+    return jax.vmap(
+        lambda st, k: margm.sample_hypers(
+            st, opts, k, n, nburn=nburn, params=params, n_chains=n_chains,
+            prior_std=prior_std,
+        )
+    )(states, keys)
+
+
+@partial(jax.jit, static_argnames=("opts", "funs"))
+def marginalize_batch(states: BQState, opts: BQOptions, hyper_samples,
+                      funs=None):
+    """Per-problem hyper-marginalized estimates: ``hyper_samples`` is
+    (B, n, p) (e.g. from ``sample_hypers_batch``); returns a tuple of
+    (B, n) arrays — vmapped ``marginalize.marginalize``."""
+    from tpubq.models import marginalize as margm
+
+    if funs is None:
+        funs = (bqm.Z_mean, bqm.Z_var)
+    return jax.vmap(
+        lambda st, th: margm.marginalize(st, opts, th, funs)
+    )(states, hyper_samples)
+
+
 def _batch_size(states: BQState) -> int:
     return states.ns.shape[0]
 
@@ -560,10 +637,11 @@ class BQFleet:
         from tpubq.utils.options import parse_bq_kwargs
 
         xs = np.asarray(xs)
-        opts, x_means, x_vars, gamma, s_tl, s_l, _seed = parse_bq_kwargs(
+        opts, x_means, x_vars, gamma, s_tl, s_l, seed = parse_bq_kwargs(
             options, xs.shape[2] if xs.ndim == 3 else 1, xs.shape[1]
         )
         self.options = opts
+        self._rng = np.random.RandomState(seed)
         self._states = init_batch(
             xs, ls, self.options, params_tl=params_tl, params_l=params_l,
             s_tl=s_tl, s_l=s_l, gamma=gamma, x_means=x_means, x_vars=x_vars,
@@ -582,7 +660,13 @@ class BQFleet:
         obj = object.__new__(cls)
         obj.options = opts
         obj._states = states
+        obj._rng = np.random.RandomState(0)
         return obj
+
+    def _key(self, seed):
+        if seed is None:
+            seed = self._rng.randint(0, 2**31 - 1)
+        return jax.random.PRNGKey(seed)
 
     @property
     def states(self) -> BQState:
@@ -620,6 +704,64 @@ class BQFleet:
             expected_Z_var_batch(self._states, self.options, grid,
                                  per_problem, fast=fast)
         )
+
+    # -- hyperparameters -------------------------------------------------------
+    def fit(self, params=None, ntry: int = 10, seed=None) -> "BQFleet":
+        """Per-problem multi-restart MLL fit of both GPs (the fleet
+        spelling of ``BQ.fit_hypers``; ``params`` names subset the free
+        hypers exactly as there)."""
+        free_mask = None
+        if params is not None:
+            from tpubq.models.marginalize import _names_for
+
+            local = _names_for(self.options)
+            params = (params,) if isinstance(params, str) else tuple(params)
+            unknown = set(params) - set(local)
+            if unknown:
+                raise ValueError(
+                    f"unknown hyperparameters {sorted(unknown)} for kernel "
+                    f"{self.options.kernel!r}; valid: {sorted(local)}"
+                )
+            p_len = int(self._states.gp_log_l.theta.shape[1])
+            fm = np.zeros(p_len, bool)
+            for nm in params:
+                fm[list(local[nm])] = True
+            free_mask = None if fm.all() else jnp.asarray(fm)
+        self._states = fit_batch(self._states, self.options,
+                                 self._key(seed), ntry=ntry,
+                                 free_mask=free_mask)
+        return self
+
+    fit_hypers = fit
+
+    def sample_hypers(self, params=None, n: int = 100, nburn: int = 10,
+                      seed=None, n_chains: int = 1,
+                      prior_std: float = None) -> np.ndarray:
+        """(B, n, p) per-problem hyper-posterior draws
+        (``BQ.sample_hypers`` per fleet member, one compiled program)."""
+        if params is not None and not isinstance(params, tuple):
+            params = (params,) if isinstance(params, str) else tuple(params)
+        return np.asarray(sample_hypers_batch(
+            self._states, self.options, self._key(seed), n, nburn=nburn,
+            params=params, n_chains=n_chains, prior_std=prior_std,
+        ))
+
+    def marginalize(self, funs=None, n: int = 100, params=None, seed=None,
+                    prior_std: float = None):
+        """Per-problem hyper-marginalized estimates: tuple of (B, n)
+        arrays (``BQ.marginalize`` per fleet member)."""
+        if params is not None and not isinstance(params, tuple):
+            params = (params,) if isinstance(params, str) else tuple(params)
+        thetas = sample_hypers_batch(
+            self._states, self.options, self._key(seed), n, params=params,
+            prior_std=prior_std,
+        )
+        named = {"Z_mean": bqm.Z_mean, "Z_var": bqm.Z_var}
+        if funs is None:
+            funs = (bqm.Z_mean, bqm.Z_var)
+        funs = tuple(named.get(f, f) if isinstance(f, str) else f for f in funs)
+        outs = marginalize_batch(self._states, self.options, thetas, funs)
+        return tuple(np.asarray(o) for o in outs)
 
     # -- active sampling -------------------------------------------------------
     def choose_next(self, grid, fast: bool = False) -> np.ndarray:
