@@ -602,14 +602,24 @@ def add_observation_batch(states: BQState, opts: BQOptions, x_new, l_new) -> BQS
 
 
 @partial(jax.jit, static_argnames=("opts", "loglik_fn", "n_steps"))
-def run_active_loop_batch(states: BQState, opts: BQOptions, loglik_fn, grid, n_steps: int):
+def run_active_loop_batch(states: BQState, opts: BQOptions, loglik_fn, grid,
+                          n_steps: int, hyper_samples=None):
     """Fleet-wide active sampling: every problem picks and absorbs its own
     next point each step (one compiled scan for the whole fleet).
     ``loglik_fn(x: (d,)) -> ()`` is vmapped across the fleet's choices.
+    ``hyper_samples``: optional (B, n, p) per-problem draws (e.g. from
+    ``sample_hypers_batch``) — each step's acquisition is then
+    marginalized per problem (the single-problem
+    ``run_active_loop(hyper_samples=...)`` spelling, vmapped).
     """
 
     def step(sts, _):
-        x_next, _ = choose_next_batch(sts, opts, grid)
+        if hyper_samples is None:
+            x_next, _ = choose_next_batch(sts, opts, grid)
+        else:
+            x_next, _ = jax.vmap(
+                lambda st, th: acquire.choose_next(st, opts, grid, th)
+            )(sts, hyper_samples)
         l_next = jax.vmap(loglik_fn)(x_next)
         sts = add_observation_batch(sts, opts, x_next, l_next)
         return sts, (Z_mean_batch(sts, opts), Z_var_batch(sts, opts))
@@ -798,17 +808,26 @@ class BQFleet:
         )
         return self
 
-    def run_active_loop(self, loglik_fn, grid, n_steps: int):
+    def run_active_loop(self, loglik_fn, grid, n_steps: int, n: int = 0,
+                        seed=None):
         """Advance every problem ``n_steps`` (one compiled scan); returns the
-        per-step (Z_mean, Z_var) histories, each (n_steps, B)."""
+        per-step (Z_mean, Z_var) histories, each (n_steps, B). ``n > 0``
+        marginalizes each step's acquisition over ``n`` per-problem hyper
+        samples (``BQ.choose_next(x, n)`` inside the loop, fleet-wide)."""
         if np.any(self.ns + n_steps > self.options.max_obs):
             raise ValueError(
                 f"{n_steps} steps would exceed max_obs="
                 f"{self.options.max_obs} for a fleet member (ns="
                 f"{self.ns.tolist()}); rebuild the fleet with a larger max_obs"
             )
+        hyper_samples = None
+        if n > 0:
+            hyper_samples = sample_hypers_batch(
+                self._states, self.options, self._key(seed), n
+            )
         self._states, (zms, zvs) = run_active_loop_batch(
-            self._states, self.options, loglik_fn, grid, n_steps
+            self._states, self.options, loglik_fn, grid, n_steps,
+            hyper_samples=hyper_samples,
         )
         return np.asarray(zms), np.asarray(zvs)
 
