@@ -65,6 +65,16 @@ def main():
         print(f"step {step}: median rel-err {step_hist[-1]:.2e}  ns={int(fleet.ns[0])}")
 
     assert step_hist[-1] <= err0.max()
+
+    # per-problem hyperparameter fitting: all B x ntry restarts, ONE program
+    fleet.fit(seed=0)
+    err_fit = np.abs(fleet.Z_mean() - z_true) / z_true
+    print(f"after fit: median rel-err {np.median(err_fit):.2e}")
+
+    # per-problem hyper-marginalized estimates: (B, n) in one pipeline
+    zms, zvs = fleet.marginalize(n=32, seed=1)
+    err_marg = np.abs(zms.mean(axis=1) - z_true) / z_true
+    print(f"marginalized (n=32/problem): median rel-err {np.median(err_marg):.2e}")
     print("done: every problem advanced in lock-step, one dispatch per op")
 
 
