@@ -360,3 +360,18 @@ def test_fleet_marginalized_active_loop_f32():
     assert zms.shape == zvs.shape == (4, 3)
     assert np.all(np.isfinite(zms)) and np.all(zvs >= 0)
     assert np.all(fleet.ns == 14)
+
+
+def test_fleet_choose_next_marginalized():
+    """choose_next(n>0) marginalizes per problem and returns grid members."""
+    from scipy import stats as st
+
+    xs = np.stack([np.linspace(-2.2, 2.2, 10)] * 3)
+    ls = np.stack([st.norm.pdf(xs[i], MUS[i], SIGS[i]) for i in range(3)])
+    fleet = batched.BQFleet(xs, ls, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                            n_candidate=10, candidate_thresh=0.2, max_obs=16)
+    grid = np.linspace(-4, 4, 81)
+    xn = fleet.choose_next(grid, n=6, seed=0)
+    assert xn.shape == (3, 1)
+    for v in xn[:, 0]:
+        assert np.min(np.abs(grid - v)) < 1e-12  # a grid member

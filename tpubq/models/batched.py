@@ -774,7 +774,22 @@ class BQFleet:
         return tuple(np.asarray(o) for o in outs)
 
     # -- active sampling -------------------------------------------------------
-    def choose_next(self, grid, fast: bool = False) -> np.ndarray:
+    def choose_next(self, grid, n: int = 0, seed=None,
+                    fast: bool = False) -> np.ndarray:
+        """Per-problem best next location; ``n > 0`` marginalizes each
+        problem's ESM over ``n`` of its own hyper samples
+        (``BQ.choose_next(x, n)``, fleet-wide)."""
+        if n > 0:
+            thetas = sample_hypers_batch(
+                self._states, self.options, self._key(seed), n
+            )
+            from tpubq.models.acquire import choose_next as _cn
+
+            x_next, _ = jax.vmap(
+                lambda st, th: _cn(st, self.options, jnp.asarray(
+                    grid, self._states.x_s.dtype), th)
+            )(self._states, thetas)
+            return np.asarray(x_next)
         x_next, _ = choose_next_batch(self._states, self.options, grid, fast=fast)
         return np.asarray(x_next)
 
