@@ -287,10 +287,19 @@ def test_expected_Z_var_batch_identity_f32():
     states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
                                 params_l=(0.3, 0.4))
     grid = jnp.asarray(np.linspace(-3, 3, 101), jnp.float32)[:, None]
-    out = batched.expected_Z_var_batch(states, opts, grid)
-    ref = jax.vmap(acquire.expected_Z_var, (0, None, None))(states, opts, grid)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=1e-6)
+    out = np.asarray(batched.expected_Z_var_batch(states, opts, grid))
+    ref = np.asarray(jax.vmap(acquire.expected_Z_var, (0, None, None))(
+        states, opts, grid))
+    # On TPU the batched ESM term routes through the packed bf16x3 fleet
+    # kernel (q99 ~2e-4 score noise) while the reference side vmaps the
+    # f32 scorer. expected_Z_var = Z_mean^2 + Z_var - ESM nearly cancels
+    # (|result| ~ 1e-3 of the terms), so the packed path's noise must be
+    # judged against the magnitude of the CANCELLING terms — Z_mean^2 +
+    # Z_var per problem — not against |expected_Z_var| or elementwise rtol.
+    zm = np.asarray(batched.Z_mean_batch(states, opts))
+    zv = np.asarray(batched.Z_var_batch(states, opts))
+    scale = (zm**2 + zv)[:, None]
+    assert np.max(np.abs(out - ref) / scale) < 5e-4
     fleet = batched.BQFleet.from_states(states, opts)
     np.testing.assert_allclose(fleet.expected_Z_var(grid), np.asarray(out),
                                rtol=1e-6)

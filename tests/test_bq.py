@@ -777,16 +777,23 @@ def test_f32_esm_adaptive_guard_on_singular_gram():
     ls = np.stack([stats.norm.pdf(xs[b], mus[b], 1.0) + 1e-3 for b in range(B)])
     grid = np.linspace(-half - 1, half + 1, 257)[:, None]
     res = {}
+    cpu = jax.devices("cpu")[0]
     for dt in ("float32", "float64"):
-        opts = BQOptions(n_candidate=n_candidate, candidate_thresh=0.12,
-                         max_obs=max_obs, dtype=dt)
-        states = batched.init_batch(
-            xs, ls, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
-            x_means=np.zeros(1), x_vars=4.0 * np.ones(1),
-        )
-        res[dt] = np.asarray(jax.vmap(
-            acquire.expected_squared_mean, (0, None, None)
-        )(states, opts, jnp.asarray(grid, opts.np_dtype)))
+        # f64 truth pinned to the host CPU device (f64 silently NaNs on
+        # the tunneled TPU — same convention as the fleet parity tests)
+        import contextlib
+
+        ctx = jax.default_device(cpu) if dt == "float64" else contextlib.nullcontext()
+        with ctx:
+            opts = BQOptions(n_candidate=n_candidate, candidate_thresh=0.12,
+                             max_obs=max_obs, dtype=dt)
+            states = batched.init_batch(
+                xs, ls, opts, params_tl=(0.7, 0.8), params_l=(0.3, 0.4),
+                x_means=np.zeros(1), x_vars=4.0 * np.ones(1),
+            )
+            res[dt] = np.asarray(jax.vmap(
+                acquire.expected_squared_mean, (0, None, None)
+            )(states, opts, jnp.asarray(grid, opts.np_dtype)))
     scale = np.abs(res["float64"]).max(axis=1, keepdims=True)
     err = np.abs(res["float32"] - res["float64"]) / scale
     assert err.max() < 0.1, err.max()  # measured 3.4e-2; was 9.06 unguarded
