@@ -384,3 +384,79 @@ def test_fleet_choose_next_marginalized():
     assert xn.shape == (3, 1)
     for v in xn[:, 0]:
         assert np.min(np.abs(grid - v)) < 1e-12  # a grid member
+
+
+def test_demote_near_observed_f32_tie_break():
+    """Grid points near a LIVE observation are excluded from selection
+    (reference candidate-spacing semantics); raw ESM scores are reported
+    unchanged by choose_next."""
+    from tpubq.models import acquire
+
+    x_a = jnp.asarray([[0.0], [0.5], [1.0]], jnp.float32)
+    # one live observation at 0.0; a DEAD padded slot sitting at 0.5
+    x_s = jnp.asarray([[0.0], [0.5]], jnp.float32)
+    mask = jnp.asarray([True, False])
+    scores = jnp.ones(3, jnp.float32)
+    sel = np.asarray(
+        acquire.demote_near_observed(scores, x_a, x_s, mask, 0.2)
+    )
+    assert sel[0] == -np.inf  # within thresh of the live obs: excluded
+    assert sel[1] == 1.0  # near only the dead slot: untouched
+    assert sel[2] == 1.0
+    # even a junk-boosted score at an observed point cannot win
+    boosted = jnp.asarray([2.0, 1.0, 1.0], jnp.float32)
+    selb = np.asarray(
+        acquire.demote_near_observed(boosted, x_a, x_s, mask, 0.2)
+    )
+    assert int(np.argmax(selb)) != 0
+    # the penalty is distance-PROPORTIONAL: on a within-thresh plateau the
+    # farthest-from-observed point must win the argmax strictly (a binary
+    # demotion re-ties once observations tile the grid — device regression)
+    xg = jnp.asarray([[0.0], [0.05], [0.1], [0.15]], jnp.float32)
+    selg = np.asarray(
+        acquire.demote_near_observed(
+            jnp.ones(4, jnp.float32), xg, x_s[:1], mask[:1], 0.2
+        )
+    )
+    assert np.all(np.diff(selg) > 0.0)  # strictly less demoted with distance
+    assert int(np.argmax(selg)) == 3
+
+
+def test_fleet_long_loop_f32_no_duplicate_observations():
+    """A long f32 fleet active loop never re-picks an observed point.
+
+    Regression (TPU, round 3): once a problem converges its ESM surface
+    flattens to the Z_mean² plateau at f32 resolution, argmax ties broke to
+    grid index 0, and the compiled loop stacked exact duplicates of the
+    same edge point until the Gram degenerated and Z_mean went NaN
+    (4/64 problems within 24 steps). demote_near_observed tie-breaks the
+    selection away from observed territory instead.
+    """
+    import jax
+
+    B, n0 = 8, 8
+    opts = BQOptions(n_candidate=12, candidate_thresh=0.2, max_obs=48,
+                     dtype="float32")
+    rng = np.random.RandomState(0)
+    xs = np.stack([np.linspace(-2.2, 2.2, n0) + 0.03 * rng.standard_normal(n0)
+                   for _ in range(B)])
+    mus = rng.uniform(-0.5, 0.5, B)
+    ls = np.exp(-0.5 * (xs - mus[:, None]) ** 2 / 0.25) / np.sqrt(2 * np.pi * 0.25)
+    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
+                                params_l=(0.3, 0.4))
+    grid = jnp.asarray(np.linspace(-4, 4, 2000), np.float32)[:, None]
+
+    def loglik(xa):
+        return jnp.exp(-0.5 * (xa[0] - 0.2) ** 2 / 0.25) / jnp.sqrt(
+            2 * jnp.pi * 0.25)
+
+    sts, (zm, zv) = batched.run_active_loop_batch(
+        states, opts, loglik, grid, 24)
+    assert np.all(np.isfinite(np.asarray(zm))), "fleet Z_mean went non-finite"
+    xs_out = np.asarray(sts.x_s)
+    for b in range(B):
+        ns = int(np.asarray(sts.ns)[b])
+        assert ns == n0 + 24
+        x = np.sort(xs_out[b, :ns, 0])
+        gap = np.diff(x).min()
+        assert gap > 0.0, f"duplicate observation in problem {b}"

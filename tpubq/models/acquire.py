@@ -54,10 +54,65 @@ __all__ = [
     "approx_expected_squared_mean",
     "expected_Z_var",
     "choose_next",
+    "demote_near_observed",
     "refine_next",
     "add_observation",
     "run_active_loop",
 ]
+
+
+def demote_near_observed(scores, x_a, x_s, obs_mask, thresh, axis_name=None):
+    """Selection-only transform: exclude grid points within ``thresh``
+    (sup-norm) of a live observation from the argmax, exactly the
+    reference's candidate SPACING rule applied at selection time
+    (`bq.py::_choose_candidates` keeps candidates ≥ thresh from
+    observations, so its choose-next can never return observed territory;
+    our ``choose_next`` scores a user-supplied grid, so the filter must act
+    on the selection instead). Reported scores stay the pure ESM values —
+    this feeds only the argmax.
+
+    Why it exists (observed on TPU): once a problem converges, its f32 ESM
+    surface flattens to the Z_mean² plateau, argmax ties break to grid
+    index 0, and a compiled active loop re-picks the SAME point step after
+    step — nothing can raise inside ``lax.scan`` (the reference's host loop
+    would have thrown its duplicate-rejection error), so duplicates stack
+    until the Gram is beyond the jitter ladder and the linearization blows
+    up (a B=64 fleet loop NaNed 4 problems inside 24 steps). Soft demotion
+    (1e-3-relative) proved insufficient: an exact re-pick's f32 score can
+    carry a junk boost from dividing Schur-complement noise by itself that
+    exceeds any safe demotion margin, and a binary penalty re-ties once the
+    observations tile the whole grid. Hard exclusion is immune to both.
+
+    Fallback: when EVERY point is excluded (a long-run fleet really does
+    tile a small grid), selection falls back to distance-proportional
+    demotion — penalty ∝ (1 − d_min/thresh)·(1e-3·|score| + 1e-20) — whose
+    argmax walks to the point FARTHEST from observed territory (an exact
+    duplicate has d_min = 0 → max penalty; any unobserved grid point keeps
+    d_min ≥ grid spacing, and the f32 penalty gap ~1e-3·|score|·spacing/
+    thresh sits orders of magnitude above ulp, the 1e-20 floor keeping a
+    zero-valued plateau ordered without TPU-flushed subnormals). A
+    duplicate can therefore be selected only if the grid has no other
+    point — i.e. never.
+
+    ``axis_name``: set when the GRID axis is sharded across a mesh
+    dimension (parallel/sharded.py) — the all-excluded fallback must be
+    decided globally (one shard may see only excluded points while another
+    still holds fresh ones; a shard-local fallback would hand pmax finite
+    demoted values to race against raw scores and diverge from the
+    unsharded argmax).
+    """
+    dist = jnp.max(jnp.abs(x_a[:, None, :] - x_s[None, :, :]), axis=-1)
+    dist = jnp.where(obs_mask[None, :], dist, jnp.inf)
+    d_min = jnp.min(dist, axis=1)
+    near = d_min < jnp.asarray(thresh, scores.dtype)
+    closeness = jnp.clip(1.0 - d_min / jnp.asarray(thresh, scores.dtype), 0.0, 1.0)
+    floor = jnp.asarray(1e-20, scores.dtype)
+    demoted = scores - closeness * (1e-3 * jnp.abs(scores) + floor)
+    excluded = jnp.where(near, jnp.asarray(-jnp.inf, scores.dtype), scores)
+    all_near = jnp.all(near, axis=-1)
+    if axis_name is not None:
+        all_near = jax.lax.pmin(all_near.astype(jnp.int32), axis_name).astype(bool)
+    return jnp.where(all_near, demoted, excluded)
 
 
 def as_points(x_a, dim: int):
@@ -340,7 +395,10 @@ def choose_next(
 
         total, _ = jax.lax.scan(step, jnp.zeros((x_a.shape[0],), dtype), hyper_samples)
         scores = total / hyper_samples.shape[0]
-    best = jnp.argmax(scores)
+    sel = demote_near_observed(
+        scores, x_a, state.x_s, state.obs_mask, opts.candidate_thresh
+    )
+    best = jnp.argmax(sel)
     return x_a[best], scores
 
 

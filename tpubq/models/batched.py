@@ -590,7 +590,15 @@ def choose_next_batch(states: BQState, opts: BQOptions, grid, fast: bool = False
     # d-dimensional point, which a raw reshape would scramble into d bogus
     # 1-D points and return a wrong-shaped x_next.
     grid2 = as_points(jnp.asarray(grid, states.x_s.dtype), opts.dim)
-    return grid2[jnp.argmax(scores, axis=1)], scores
+    # Per-problem duplicate-avoiding tie-break (see demote_near_observed:
+    # a converged problem's plateau otherwise re-picks the same point every
+    # step of run_active_loop_batch until its Gram degenerates).
+    sel = jax.vmap(
+        lambda sc, xs, m: acquire.demote_near_observed(
+            sc, grid2, xs, m, opts.candidate_thresh
+        )
+    )(scores, states.x_s, states.obs_mask)
+    return grid2[jnp.argmax(sel, axis=1)], scores
 
 
 @partial(jax.jit, static_argnames=("opts",))

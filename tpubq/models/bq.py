@@ -85,8 +85,18 @@ def log_transform(l: jnp.ndarray, gamma) -> jnp.ndarray:
 
 
 def inv_log_transform(tl: jnp.ndarray, gamma) -> jnp.ndarray:
-    """l = γ (exp(tl) − 1)."""
-    return gamma * jnp.expm1(tl)
+    """l = γ (exp(tl) − 1).
+
+    ``tl`` is clamped below the dtype's exp-overflow threshold (f32
+    overflows at tl ≈ 88.7): the linearization anchors feed the linear GP's
+    values, and one ill-conditioned log-GP posterior spike would otherwise
+    inject inf into ``l_c`` and NaN-poison ``alpha`` even though the
+    factorization itself is healthy. Any legitimate ``tl`` that large is
+    already far outside the representable likelihood range, so the clamp
+    only converts an inf-cascade into a saturated (finite) anchor.
+    """
+    cap = 80.0 if tl.dtype == jnp.float32 else 700.0
+    return gamma * jnp.expm1(jnp.minimum(tl, cap))
 
 
 def live_bounds(x_s, obs_mask):

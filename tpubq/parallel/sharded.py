@@ -88,9 +88,13 @@ def choose_next_sharded(
             return acquire.expected_squared_mean(st, opts, grid_shard)
 
         scores = _scores_direct(state, x_pad)
+        # duplicate-avoiding tie-break on the gathered scores (before the
+        # -inf pad mask: demoting a -inf produces NaN), raw scores returned
+        sel = acquire.demote_near_observed(
+            scores, x_pad, state.x_s, state.obs_mask, opts.candidate_thresh
+        )
         live = jnp.arange(x_pad.shape[0]) < n_real
-        scores = jnp.where(live, scores, -jnp.inf)
-        best = jnp.argmax(scores)
+        best = jnp.argmax(jnp.where(live, sel, -jnp.inf))
         return x_pad[best], scores[:n_real]
 
     hyper_pad, n_hyp = pad_to_multiple(jnp.asarray(hyper_samples), n_dp, axis=0)
@@ -112,10 +116,12 @@ def choose_next_sharded(
         return total / count
 
     scores = _scores(state, x_pad, hyper_pad, w)
+    sel = acquire.demote_near_observed(
+        scores, x_pad, state.x_s, state.obs_mask, opts.candidate_thresh
+    )
     # mask padding (edge repeats) so the argmax picks a real index
     live = jnp.arange(x_pad.shape[0]) < n_real
-    scores = jnp.where(live, scores, -jnp.inf)
-    best = jnp.argmax(scores)
+    best = jnp.argmax(jnp.where(live, sel, -jnp.inf))
     return x_pad[best], scores[:n_real]
 
 
@@ -222,10 +228,20 @@ def fleet_choose_next_sharded(states: BQState, opts: BQOptions, x_a, mesh: Mesh)
         from tpubq.models.batched import expected_squared_mean_batch
 
         scores = expected_squared_mean_batch(sts, opts, grid_shard)
+        # per-problem duplicate-avoiding selection filter; elementwise, so
+        # values compare consistently across grid shards, with the
+        # all-excluded fallback decided GLOBALLY via pmin over the grid
+        # axis (see demote_near_observed's axis_name doc)
+        sel = jax.vmap(
+            lambda sc, xs, m: acquire.demote_near_observed(
+                sc, grid_shard, xs, m, opts.candidate_thresh,
+                axis_name=AXIS_GRID,
+            )
+        )(scores, sts.x_s, sts.obs_mask)
         # global grid indices of this shard
         g0 = jax.lax.axis_index(AXIS_GRID) * grid_shard.shape[0]
-        local_best = jnp.argmax(scores, axis=1)
-        local_val = jnp.take_along_axis(scores, local_best[:, None], axis=1)[:, 0]
+        local_best = jnp.argmax(sel, axis=1)
+        local_val = jnp.take_along_axis(sel, local_best[:, None], axis=1)[:, 0]
         best_val = jax.lax.pmax(local_val, AXIS_GRID)
         # among shards achieving the max, take the smallest global index
         big = jnp.iinfo(jnp.int32).max
