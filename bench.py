@@ -5,7 +5,9 @@ Prints one JSON line per metric, headline first:
   {"metric": ..., "value": pts/s, "unit": "points/s", "vs_baseline": speedup}
 Metrics: esm_candidate_scoring (config 4 inner), marginalize_100samples
 (config 5), active_loop (config 4 outer), fleet_esm_aggregate_B64 (the
-block-packed fleet scorer — B=64 problems scored in one dispatch).
+block-packed fleet scorer — B=64 problems scored in one dispatch), and
+fleet_active_loop_B64 (B=64 full active loops advanced in one scan —
+aggregate steps/s).
 ``--headline`` restricts to the first line (quick runs); ``--all`` is
 accepted for compatibility and is now the default behavior.
 
@@ -433,6 +435,67 @@ def _fleet_esm_throughput(B=64):
     return B * N_GRID / dt, platform
 
 
+def _fleet_active_loop_throughput(B=64, n_short=8, n_long=24):
+    """Aggregate fleet active-loop steps/s: B problems each choose, observe,
+    and refit every step of ONE compiled scan (run_active_loop_batch).
+
+    The serving-shape counterpart of the single-problem active_loop metric:
+    the whole fleet's refits run as one batch-major Cholesky batch and the
+    scoring as one fleet sweep, so a B=64 problem-step costs ~24 µs vs
+    ~92 µs standalone (PARITY.md round-3 addendum). Timed by n_steps
+    differencing ((t_long − t_short)/(n_long − n_short)), which cancels
+    dispatch overhead and the loop's fixed costs.
+    """
+    import jax
+
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    import tpubq  # noqa: F401
+    from tpubq.models import batched
+    from tpubq.utils.options import BQOptions
+
+    platform = jax.devices()[0].platform
+    dtype = "float32" if platform != "cpu" else "float64"
+    opts = BQOptions(
+        n_candidate=12, candidate_thresh=0.2, max_obs=48, dtype=dtype,
+        use_pallas=(platform == "tpu"),
+    )
+    rng = np.random.RandomState(0)
+    n0 = 8
+    xs = np.stack([np.linspace(-2.2, 2.2, n0) + 0.03 * rng.standard_normal(n0)
+                   for _ in range(B)])
+    mus = rng.uniform(-0.5, 0.5, B)
+    ls = np.exp(-0.5 * (xs - mus[:, None]) ** 2 / 0.25) / np.sqrt(2 * np.pi * 0.25)
+    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
+                                params_l=(0.3, 0.4))
+    grid = jnp.asarray(np.linspace(-4, 4, N_GRID), opts.np_dtype)[:, None]
+
+    def loglik(xa):
+        return jnp.exp(-0.5 * (xa[0] - 0.2) ** 2 / 0.25) / jnp.sqrt(
+            2 * jnp.pi * 0.25)
+
+    def run(n_steps, reps=REPEATS):
+        f = jax.jit(lambda sts: batched.run_active_loop_batch(
+            sts, opts, loglik, grid, n_steps))
+        out = f(states)
+        jax.block_until_ready(out)
+        assert bool(np.all(np.isfinite(np.asarray(out[1][0])))), \
+            "non-finite fleet Z_mean in loop"
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(states))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_short, t_long = run(n_short), run(n_long)
+    dt = (t_long - t_short) / (n_long - n_short)
+    if dt <= 0:
+        dt = t_long / n_long
+    return B / dt, platform
+
+
 def main():
     import sys
 
@@ -497,6 +560,20 @@ def main():
                 "value": round(f_rate, 1),
                 "unit": "points/s",
                 "vs_baseline": round(f_rate / baseline, 1),
+            }
+        )
+    )
+    _settle()
+    # likewise sequential in the reference: fleet aggregate baseline steps/s
+    # equals its single-problem steps/s
+    fl_rate, _ = _fleet_active_loop_throughput()
+    print(
+        json.dumps(
+            {
+                "metric": f"fleet_active_loop_B64_{platform}",
+                "value": round(fl_rate, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(fl_rate / base_steps_per_s, 1),
             }
         )
     )
