@@ -274,11 +274,24 @@ def _bench_state(max_obs=16):
     return state, opts, platform
 
 
-def _marginalize_throughput(n_samples=100):
+def _marginalize_throughput(n_samples=100, n_short=16, n_long=112):
     """Config 5: E[Z]/V[Z] over ``n_samples`` sampled hypers — batched
-    pipeline samples/s, vs a host-driven per-sample loop on the same device
-    (the reference's sequential refactorize-per-sample shape)."""
+    samples/s, vs the reference's sequential refactorize-per-sample shape
+    on the same device.
+
+    Methodology (round-3 revision): the earlier async-pipelined host loop
+    measured the TUNNEL's dispatch mode, not the chip — the per-dispatch
+    enqueue cost swings ~50 µs ↔ ~1 ms between sessions (measured both;
+    the device work itself is ~37 µs per 100-sample call), which once
+    mis-read as a 20× "regression". Both sides are now scan-differenced
+    inside one jitted program like every other metric: marginalize(100)
+    iterated n_long vs n_short times with a data-dependent θ perturbation,
+    and the sequential baseline as one scan over the 100 θ rows doing a
+    full single-sample refactorize+moments each step (the reference's loop
+    body, without its Python/dispatch overhead — a conservative baseline).
+    """
     import jax
+    import jax.numpy as jnp
 
     _enable_compile_cache()
     from tpubq.models import bq as bqm, marginalize as margm
@@ -287,30 +300,54 @@ def _marginalize_throughput(n_samples=100):
     key = jax.random.PRNGKey(0)
     thetas = margm.sample_hypers(state, opts, key, n_samples, nburn=10)
     jax.block_until_ready(thetas)
-    # distinct theta sets per enqueued call, async pipeline, one block —
-    # a per-call block measures the ~30 ms tunnel RTT, not the chip
-    variants = [thetas * (1.0 + 1e-4 * i) for i in range(K_ENQUEUE)]
-    jax.block_until_ready(margm.marginalize(state, opts, variants[-1]))  # compile
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        outs = [margm.marginalize(state, opts, v) for v in variants]
-        jax.block_until_ready(outs)
-        times.append((time.perf_counter() - t0) / K_ENQUEUE)
-    # min, not median: repeats that coincide with tunnel congestion measure
-    # the transport, not the chip; the floor is the honest pipeline rate.
-    batched = float(np.min(times))
 
-    one = jax.jit(
-        lambda st, th: (lambda s: (bqm.Z_mean(s, opts), bqm.Z_var(s, opts)))(
-            bqm.set_params(st, opts, theta_tl=th)
-        )
-    )
-    jax.block_until_ready(one(state, thetas[0]))
-    t0 = time.perf_counter()
-    outs = [one(state, thetas[i]) for i in range(n_samples)]
-    jax.block_until_ready(outs)
-    seq = time.perf_counter() - t0
+    def make_batched(n_iter):
+        @jax.jit
+        def f(t0):
+            def body(t, _):
+                zm, _zv = margm.marginalize(state, opts, t)
+                return t * (1.0 + 1e-6 * zm[0]), zm[0]
+            _, zs = jax.lax.scan(body, t0, None, length=n_iter)
+            return zs
+        return f
+
+    def time_min(f, arg, reps=REPEATS):
+        jax.block_until_ready(f(arg))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(arg))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_s = time_min(make_batched(n_short), thetas)
+    t_l = time_min(make_batched(n_long), thetas)
+    batched = (t_l - t_s) / (n_long - n_short)
+    if batched <= 0:
+        batched = t_l / n_long
+
+    # sequential twin: one compiled scan over the θ rows, each step a full
+    # single-sample refactorize + Z moments (n=1 "batch" per step)
+    def make_seq(n_outer):
+        @jax.jit
+        def f(t0):
+            def outer(t, _):
+                def body(carry, th_row):
+                    s = bqm.apply_hyper_sample(state, opts, th_row)
+                    zm = bqm.Z_mean(s, opts)
+                    zv = bqm.Z_var(s, opts)
+                    return carry + zm + zv, zm
+                tot, _ = jax.lax.scan(body, jnp.zeros((), t0.dtype), t)
+                return t * (1.0 + 1e-9 * tot), tot
+            _, tots = jax.lax.scan(outer, t0, None, length=n_outer)
+            return tots
+        return f
+
+    s_s = time_min(make_seq(1), thetas)
+    s_l = time_min(make_seq(5), thetas)
+    seq = (s_l - s_s) / 4
+    if seq <= 0:
+        seq = s_l / 5
     return n_samples / batched, seq / batched, platform
 
 
@@ -500,13 +537,12 @@ def main():
     import sys
 
     all_metrics = "--headline" not in sys.argv
-    # Secondary metrics run FIRST: after the headline's multi-second device
-    # programs the tunnel client degrades to a ~1.3 ms-per-dispatch mode for
-    # the rest of the process (measured; a fresh process enqueues in ~50 µs,
-    # and _settle() does not recover it), which under-reads any
-    # dispatch-pipelined metric ~25×. The headline itself times *inside* one
-    # program (scan differencing), so it is immune to dispatch cost and can
-    # safely go last. Print order is unchanged (headline first).
+    # Every metric now times INSIDE one compiled program (scan
+    # differencing), so all are immune to the tunnel's per-dispatch cost —
+    # which swings ~50 µs ↔ ~1 ms between sessions and once mis-read as a
+    # 20× marginalize "regression" (round-3 postmortem in
+    # _marginalize_throughput). Measurement order is therefore free;
+    # secondary metrics still run first and print after the headline.
     if all_metrics:
         m_rate, m_speedup, _ = _marginalize_throughput()
         _settle()
