@@ -422,6 +422,48 @@ def test_demote_near_observed_f32_tie_break():
     assert int(np.argmax(selg)) == 3
 
 
+def test_fleet_loop_all_excluded_fallback_f32():
+    """A loop that tiles its whole grid to within candidate_thresh must
+    enter the all-excluded fallback and STILL never duplicate.
+
+    The exclusion rule (demote_near_observed) -inf's near-observed points;
+    once observations cover every grid point to within thresh, selection
+    falls back to distance-proportional demotion (argmax = farthest point
+    from observed territory). A coarse grid over a narrow box makes that
+    happen within a few steps, so the late steps of this loop exercise the
+    fallback path end-to-end inside the compiled scan.
+    """
+    B, n0, n_steps = 4, 6, 20
+    opts = BQOptions(n_candidate=8, candidate_thresh=0.4, max_obs=32,
+                     dtype="float32")
+    rng = np.random.RandomState(1)
+    xs = np.stack([np.linspace(-1.5, 1.5, n0) + 0.02 * rng.standard_normal(n0)
+                   for _ in range(B)])
+    ls = np.exp(-0.5 * (xs - 0.1) ** 2 / 0.25) / np.sqrt(2 * np.pi * 0.25)
+    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
+                                params_l=(0.3, 0.4))
+    # 25 points over [-2, 2]: spacing 1/6, thresh 0.4 — n0+a few obs tile it
+    grid = jnp.asarray(np.linspace(-2, 2, 25), np.float32)[:, None]
+
+    def loglik(xa):
+        return jnp.exp(-0.5 * (xa[0] - 0.1) ** 2 / 0.25) / jnp.sqrt(
+            2 * jnp.pi * 0.25)
+
+    sts, (zm, zv) = batched.run_active_loop_batch(
+        states, opts, loglik, grid, n_steps)
+    assert np.all(np.isfinite(np.asarray(zm)))
+    xs_out, ns_out = np.asarray(sts.x_s), np.asarray(sts.ns)
+    gridv = np.asarray(grid)[:, 0]
+    for b in range(B):
+        ns = int(ns_out[b])
+        assert ns == n0 + n_steps
+        x = np.sort(xs_out[b, :ns, 0])
+        assert np.diff(x).min() > 0.0, f"duplicate observation in problem {b}"
+        # the observations really did tile the grid (fallback was reached)
+        dmin = np.abs(gridv[:, None] - x[None, :]).min(axis=1)
+        assert dmin.max() < opts.candidate_thresh
+
+
 def test_fleet_long_loop_f32_no_duplicate_observations():
     """A long f32 fleet active loop never re-picks an observed point.
 

@@ -85,14 +85,19 @@ def demote_near_observed(scores, x_a, x_s, obs_mask, thresh, axis_name=None):
 
     Fallback: when EVERY point is excluded (a long-run fleet really does
     tile a small grid), selection falls back to distance-proportional
-    demotion — penalty ∝ (1 − d_min/thresh)·(1e-3·|score| + 1e-20) — whose
+    demotion — penalty ∝ (1 − d_min/thresh)·(0.25·|score| + 1e-20) — whose
     argmax walks to the point FARTHEST from observed territory (an exact
     duplicate has d_min = 0 → max penalty; any unobserved grid point keeps
-    d_min ≥ grid spacing, and the f32 penalty gap ~1e-3·|score|·spacing/
-    thresh sits orders of magnitude above ulp, the 1e-20 floor keeping a
-    zero-valued plateau ordered without TPU-flushed subnormals). A
-    duplicate can therefore be selected only if the grid has no other
-    point — i.e. never.
+    d_min ≥ grid spacing, and the penalty gap ~0.25·|score|·spacing/thresh
+    sits orders of magnitude above both f32 ulp AND the ~0.1% noise-over-
+    noise score boosts measured at exact duplicates — a 1e-3 margin was at
+    parity with those boosts; the 1e-20 floor keeps a zero-valued plateau
+    ordered without TPU-flushed subnormals). The 25% weight deliberately
+    drowns genuine score differences: a grid saturated to within thresh is
+    past the reference's operating regime (its host loop would have raised
+    long before), and maximal spacing is the only defensible objective
+    left. A duplicate can therefore be selected only if the grid has no
+    other point — i.e. never.
 
     ``axis_name``: set when the GRID axis is sharded across a mesh
     dimension (parallel/sharded.py) — the all-excluded fallback must be
@@ -107,7 +112,7 @@ def demote_near_observed(scores, x_a, x_s, obs_mask, thresh, axis_name=None):
     near = d_min < jnp.asarray(thresh, scores.dtype)
     closeness = jnp.clip(1.0 - d_min / jnp.asarray(thresh, scores.dtype), 0.0, 1.0)
     floor = jnp.asarray(1e-20, scores.dtype)
-    demoted = scores - closeness * (1e-3 * jnp.abs(scores) + floor)
+    demoted = scores - closeness * (0.25 * jnp.abs(scores) + floor)
     excluded = jnp.where(near, jnp.asarray(-jnp.inf, scores.dtype), scores)
     all_near = jnp.all(near, axis=-1)
     if axis_name is not None:
