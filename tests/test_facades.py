@@ -107,6 +107,39 @@ def test_health_check():
     jax.jit(health.check_state, static_argnums=1)(bq.state, bq.options)
 
 
+def test_health_overshoot_bound_flags_ringing():
+    """The mean-overshoot bound separates healthy interpolation from the
+    ringing failure class (closely-spaced zero-noise design → huge
+    cancelling alphas → extrapolation overshoot with every other
+    diagnostic green — the case a round-3 fuzz run surfaced)."""
+    import numpy as np
+
+    from tpubq.models import bq as bqm
+    from tpubq.utils import health
+    from tpubq.utils.options import BQOptions
+
+    opts = BQOptions(dim=1, n_candidate=8, candidate_thresh=0.3, max_obs=24)
+
+    def bound(x):
+        l = np.exp(-0.5 * (x[:, 0] - 0.2) ** 2 / 0.3) + 1e-6
+        st = bqm.init_state(x, l, opts, params_tl=(1.0, 0.9),
+                            params_l=(0.4, 0.7))
+        diag = health.check_state(st, opts)
+        return float(diag["mean_overshoot_bound_l"])
+
+    healthy = bound(np.linspace(-2.2, 2.2, 10)[:, None])
+    # same box, but with near-coincident pairs (spacing ~0.07 ≪ lengthscale)
+    xs = np.sort(np.concatenate([
+        np.linspace(-2.2, 2.2, 10),
+        np.linspace(-2.2, 2.2, 10) + 0.07,
+    ]))[:, None]
+    ringing = bound(xs)
+    # the bound is a RELATIVE indicator (loose by construction): well-spaced
+    # measures in the tens here, the near-coincident design ~2800x that
+    assert healthy < 100.0, healthy
+    assert ringing > 100.0 * healthy, (healthy, ringing)
+
+
 def test_state_io_roundtrip(tmp_path):
     import pytest
 

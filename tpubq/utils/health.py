@@ -20,6 +20,30 @@ from tpubq.utils.options import BQOptions
 __all__ = ["check_state", "format_report"]
 
 
+def _overshoot_bound(gp):
+    """h²·Σ|α| / max|y| — an upper bound on how far the posterior mean can
+    swing ANYWHERE relative to the data scale (|m(x)| = |k(x)ᵀα| ≤ h²Σ|α|
+    for kernels bounded by h²).
+
+    The bound is deliberately loose (cancelling α terms make the ℓ1 sum an
+    overestimate), so read it RELATIVELY: a well-spaced design measures in
+    the tens (the candidate grid packs points at ~candidate_thresh, below
+    the lengthscale, so some amplification is inherent); a near-coincident
+    zero-noise pair drives it into the 1e4+ range — diagnosed from a live
+    case where the Cholesky succeeded (no ladder escalation, cond ~1e8),
+    every cached value was finite, yet the linear GP's extrapolation rang
+    to m_l ≈ −14 on l ≤ 1.2 data and silently flipped Z_mean's sign. This
+    is the indicator for that failure class: estimates are well-defined
+    but the mean surface is dominated by interpolation ringing rather than
+    data. Orders of magnitude above a same-geometry baseline = ringing.
+    """
+    tiny = jnp.asarray(jnp.finfo(gp.alpha.dtype).tiny, gp.alpha.dtype)
+    h = gp.theta[0]
+    a_sum = jnp.sum(jnp.abs(jnp.where(gp.mask, gp.alpha, 0.0)))
+    y_max = jnp.max(jnp.where(gp.mask, jnp.abs(gp.y), 0.0))
+    return (h * h) * a_sum / jnp.maximum(y_max, tiny)
+
+
 def _factor_stats(L, mask):
     d = jnp.diag(L)
     live = jnp.where(mask, d, jnp.nan)
@@ -61,6 +85,8 @@ def check_state(state: BQState, opts: BQOptions) -> Dict:
         "factor_ok_l": li.ok,
         "gp_log_l": _factor_stats(tl.L, tl.mask),
         "gp_l": _factor_stats(li.L, li.mask),
+        "mean_overshoot_bound_tl": _overshoot_bound(tl),
+        "mean_overshoot_bound_l": _overshoot_bound(li),
     }
 
 
@@ -85,4 +111,11 @@ def format_report(diag: Dict) -> str:
             f"cond~{float(np.asarray(s['cond_estimate'])):.2e} "
             f"diag_min={float(np.asarray(s['diag_min'])):.2e}"
         )
+    lines.append(
+        "mean_overshoot_bound: "
+        f"tl={float(d['mean_overshoot_bound_tl']):.2e} "
+        f"l={float(d['mean_overshoot_bound_l']):.2e} (relative indicator: "
+        "well-spaced designs ~1e1-1e3; 100x above that baseline → "
+        "interpolation ringing, estimates dominated by design, not data)"
+    )
     return "\n".join(lines)
