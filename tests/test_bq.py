@@ -297,6 +297,44 @@ def test_2d_bq_z_mean_against_truth():
     assert esm.shape == (81,) and np.all(np.isfinite(esm))
 
 
+def test_3d_bq_z_mean_against_truth():
+    """3-D closed forms + the d=3 tensor-GH V[Z] floor (previously the only
+    untested dim below the QMC cutover): Gaussian integrand under a 3-D
+    Gaussian measure has analytic Z."""
+    import tpubq
+    from scipy import stats
+
+    rng = np.random.RandomState(0)
+    mu_l = np.array([0.2, -0.1, 0.15])
+    S_l = np.diag([0.35, 0.5, 0.4])
+    g = np.linspace(-1.6, 1.6, 3)
+    X = np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3)
+    X = np.concatenate([X, rng.uniform(-1.8, 1.8, (10, 3))], axis=0)
+    L = stats.multivariate_normal.pdf(X, mu_l, S_l)
+    bq = tpubq.BQ(X, L, dim=3, n_candidate=6, candidate_thresh=0.3,
+                  x_mean=np.zeros(3), x_var=np.eye(3), max_obs=48)
+    bq.init(params_tl=(0.5, 0.9, 0.9, 0.9), params_l=(0.2, 0.55, 0.55, 0.55))
+    zm = bq.Z_mean()
+    z_true = stats.multivariate_normal.pdf(mu_l, np.zeros(3), np.eye(3) + S_l)
+    assert abs(zm - z_true) / z_true < 0.15, (float(zm), z_true)
+    zv = bq.Z_var()
+    assert np.isfinite(zv) and zv >= 0.0
+    # f32 routes V[Z] through the d=3 tensor-GH rule; parity vs f64 exact
+    o32 = dict(dim=3, n_candidate=6, candidate_thresh=0.3, max_obs=48,
+               dtype="float32", x_mean=np.zeros(3), x_var=np.eye(3))
+    bq32 = tpubq.BQ(X, L, **o32)
+    bq32.init(params_tl=(0.5, 0.9, 0.9, 0.9),
+              params_l=(0.2, 0.55, 0.55, 0.55))
+    zv32 = float(bq32.Z_var())
+    assert zv32 >= 0.0
+    assert abs(zv32 - float(zv)) <= 0.05 * max(float(zv), 1e-12), (
+        zv32, float(zv))
+    # ESM over a 3-D grid
+    gg = rng.uniform(-2, 2, (50, 3))
+    esm = bq.expected_squared_mean(gg)
+    assert esm.shape == (50,) and np.all(np.isfinite(esm))
+
+
 def test_gamma_not_one_consistency():
     """γ≠1 exercises the transform and the (m_l+γ) V[Z] weighting; the
     quadrature twins are the oracle."""

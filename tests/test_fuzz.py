@@ -173,3 +173,40 @@ def test_fuzz_variance_contracts_under_observation(d):
                 d, seed, v0, v_prev, v)
             v_prev = v
         assert v_prev <= v0, (d, seed, v0, v_prev)  # net contraction
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_fuzz_fleet_equals_singles(d):
+    """B random problems through the fleet path == each problem through the
+    single-problem path (moments, scores, and selection)."""
+    from tpubq.models import batched
+
+    opts = BQOptions(dim=d, kernel="gaussian", n_candidate=8,
+                     candidate_thresh=0.3, max_obs=24)
+    B = 4
+    probs = [_random_problem(d, 300 + i) for i in range(B)]
+    xs = np.stack([p[0] for p in probs])
+    ls = np.stack([p[1] for p in probs])
+    # shared hypers (init_batch broadcasts); per-problem hypers are pinned
+    # by the fixed-data equality tests in test_batched.py
+    ptl, pl_ = probs[0][2], probs[0][3]
+    fleet = batched.init_batch(xs, ls, opts, params_tl=ptl, params_l=pl_)
+    rng = np.random.RandomState(42)
+    grid = jnp.asarray(rng.uniform(-3, 3, (64, d)))
+
+    zm_b = np.asarray(batched.Z_mean_batch(fleet, opts))
+    zv_b = np.asarray(batched.Z_var_batch(fleet, opts))
+    esm_b = np.asarray(batched.expected_squared_mean_batch(fleet, opts, grid))
+    xn_b, _ = batched.choose_next_batch(fleet, opts, grid)
+    xn_b = np.asarray(xn_b)
+    for i in range(B):
+        st = bqm.init_state(xs[i], ls[i], opts, params_tl=ptl, params_l=pl_)
+        zm = float(bqm.Z_mean(st, opts))
+        zv = float(bqm.Z_var(st, opts))
+        assert abs(zm_b[i] - zm) <= 1e-9 * max(abs(zm), 1.0), (d, i)
+        # V[Z] is a near-total cancellation; vmapped vs single summation
+        # order legitimately moves the residual at the 1e-3-relative level
+        assert abs(zv_b[i] - zv) <= 1e-3 * max(abs(zv), 1e-12), (d, i)
+        esm = np.asarray(acquire.expected_squared_mean(st, opts, grid))
+        np.testing.assert_allclose(esm_b[i], esm, rtol=1e-9, atol=1e-12)
+        xn, _ = acquire.choose_next(st, opts, grid)
+        np.testing.assert_allclose(xn_b[i], np.asarray(xn), rtol=0, atol=0)
