@@ -51,6 +51,43 @@ K_ENQUEUE = 50
 REPEATS = 5
 
 
+def _ensure_live_platform(timeout_s: float = 180.0):
+    """Fall back to CPU if the default accelerator platform cannot
+    initialize within ``timeout_s``.
+
+    The remote-tunnel TPU occasionally hangs at the transport level —
+    observed round 3: ``jax.devices()`` blocked indefinitely for over an
+    hour — and a bench run that blocks forever records NO metrics for the
+    round, which reads as a total regression. Probe platform init in a
+    subprocess (the only way to bound it; the in-process call is not
+    interruptible), and on failure pin this process to CPU so the metrics
+    still print (labeled ``_cpu``, honestly degraded).
+    """
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return True
+    except Exception:
+        print(
+            f"WARNING: default platform failed to initialize within "
+            f"{timeout_s:.0f}s; falling back to CPU metrics",
+            file=sys.stderr,
+        )
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        return False
+
+
 def _settle(seconds: float = 4.0):
     """Let the remote-tunnel transport drain before a measurement.
 
@@ -537,6 +574,7 @@ def main():
     import sys
 
     all_metrics = "--headline" not in sys.argv
+    _ensure_live_platform()
     # Every metric now times INSIDE one compiled program (scan
     # differencing), so all are immune to the tunnel's per-dispatch cost —
     # which swings ~50 µs ↔ ~1 ms between sessions and once mis-read as a
