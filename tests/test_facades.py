@@ -105,6 +105,9 @@ def test_health_check():
     import jax
 
     jax.jit(health.check_state, static_argnums=1)(bq.state, bq.options)
+    # the BQ facade spelling
+    assert bq.health()["ns"] == diag["ns"]
+    assert "cond~" in bq.health(as_report=True)
 
 
 def test_health_overshoot_bound_flags_ringing():

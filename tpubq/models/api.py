@@ -444,6 +444,18 @@ class BQ:
         )
 
     # ------------------------------------------------------------- persistence
+    def health(self, as_report: bool = False):
+        """Diagnostics for the current state (no reference equivalent —
+        the production observability surface; see utils.health.check_state).
+
+        Returns the diagnostics dict, or the formatted log string with
+        ``as_report=True``.
+        """
+        from tpubq.utils import health as _health
+
+        diag = _health.check_state(self.state, self.options)
+        return _health.format_report(diag) if as_report else diag
+
     def save(self, filename, force: bool = False):
         """Persist observations + options + hyperparameters to .npz
         (bq.py::BQ.save; factorizations are recomputed on load)."""
