@@ -141,6 +141,10 @@ def test_bqfleet_class_surface(tmp_path):
     bq0.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
     np.testing.assert_allclose(zm[0], bq0.Z_mean(), rtol=1e-10)
 
+    diag = fleet.health()
+    assert diag["ns"].shape == (3,)
+    assert bool(np.all(np.asarray(diag["alpha_l_finite"])))
+
     grid = np.linspace(-4, 4, 51)
     x_next = fleet.choose_next(grid)
     assert x_next.shape == (3, 1)

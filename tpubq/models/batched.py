@@ -855,6 +855,18 @@ class BQFleet:
         return np.asarray(zms), np.asarray(zvs)
 
     # -- persistence ------------------------------------------------------------
+    def health(self):
+        """Per-problem diagnostics: utils.health.check_state vmapped over
+        the fleet — every leaf of the returned dict gains a leading (B,)
+        axis. Serving-side observability in one dispatch."""
+        import jax
+
+        from tpubq.utils import health as _health
+
+        return jax.vmap(
+            lambda st: _health.check_state(st, self.options)
+        )(self._states)
+
     def save(self, path, force: bool = False):
         from tpubq.utils.io import save_state
 
