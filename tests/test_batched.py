@@ -390,6 +390,26 @@ def test_fleet_choose_next_marginalized():
         assert np.min(np.abs(grid - v)) < 1e-12  # a grid member
 
 
+def test_record_moments_false_same_final_state():
+    """record_moments=False skips the per-step moment trajectory but must
+    leave the loop's final state bit-identical (same selections, same
+    refits)."""
+    xs, ls, states = _fleet()
+    grid = jnp.asarray(np.linspace(-4, 4, 101))[:, None]
+
+    def lik(xa):
+        return jnp.exp(-0.5 * (xa[0] - 0.2) ** 2 / 0.25) / jnp.sqrt(
+            2 * jnp.pi * 0.25)
+
+    f1, moments = batched.run_active_loop_batch(states, OPTS, lik, grid, 3)
+    f2, none = batched.run_active_loop_batch(states, OPTS, lik, grid, 3,
+                                             record_moments=False)
+    assert none is None
+    assert moments[0].shape == (3, 3)
+    np.testing.assert_array_equal(np.asarray(f1.x_s), np.asarray(f2.x_s))
+    np.testing.assert_array_equal(np.asarray(f1.ns), np.asarray(f2.ns))
+
+
 def test_demote_near_observed_f32_tie_break():
     """Grid points near a LIVE observation are excluded from selection
     (reference candidate-spacing semantics); raw ESM scores are reported

@@ -490,11 +490,13 @@ def add_observation(state: BQState, opts: BQOptions, x_a, l_a) -> BQState:
 
 @partial(
     jax.jit,
-    static_argnames=("opts", "loglik_fn", "n_steps", "incremental", "refresh_every"),
+    static_argnames=("opts", "loglik_fn", "n_steps", "incremental", "refresh_every",
+                     "record_moments"),
 )
 def run_active_loop(
     state: BQState, opts: BQOptions, loglik_fn, x_grid, n_steps: int,
     hyper_samples=None, incremental="auto", refresh_every: int = 16,
+    record_moments: bool = True,
 ):
     """Closed active-sampling loop as ``lax.scan`` (the reference's outer
     choose → evaluate → add loop, bq.py usage pattern).
@@ -512,7 +514,10 @@ def run_active_loop(
 
     ``hyper_samples``: optional (n, p) θ_tl draws — each step's acquisition
     is then marginalized over them (the reference's ``choose_next(x, n)``
-    inside its loop). Returns (final_state, per-step (x_next, Z_mean, Z_var)).
+    inside its loop). Returns (final_state, per-step (x_next, Z_mean, Z_var)),
+    or (final_state, per-step x_next) with ``record_moments=False`` — the
+    final state is identical and the per-step V[Z] quadrature drops out of
+    the compiled loop.
 
     ``incremental``: ``"auto"`` (default) selects the exact bordering /
     block-Woodbury updates of ``tpubq.models.incremental`` instead of the
@@ -535,6 +540,10 @@ def run_active_loop(
             st = add_observation_fast(st, opts, x_next, l_next, refresh_every)
         else:
             st = add_observation(st, opts, x_next, l_next)
+        if not record_moments:
+            # serving runs that only consume the final state skip the
+            # per-step V[Z] quadrature entirely (x_next alone is cheap)
+            return st, x_next
         return st, (x_next, Z_mean(st, opts), Z_var(st, opts))
 
     return jax.lax.scan(step, state, None, length=n_steps)

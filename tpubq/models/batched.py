@@ -609,9 +609,11 @@ def add_observation_batch(states: BQState, opts: BQOptions, x_new, l_new) -> BQS
     )
 
 
-@partial(jax.jit, static_argnames=("opts", "loglik_fn", "n_steps"))
+@partial(jax.jit, static_argnames=("opts", "loglik_fn", "n_steps",
+                                  "record_moments"))
 def run_active_loop_batch(states: BQState, opts: BQOptions, loglik_fn, grid,
-                          n_steps: int, hyper_samples=None):
+                          n_steps: int, hyper_samples=None,
+                          record_moments: bool = True):
     """Fleet-wide active sampling: every problem picks and absorbs its own
     next point each step (one compiled scan for the whole fleet).
     ``loglik_fn(x: (d,)) -> ()`` is vmapped across the fleet's choices.
@@ -619,6 +621,10 @@ def run_active_loop_batch(states: BQState, opts: BQOptions, loglik_fn, grid,
     ``sample_hypers_batch``) — each step's acquisition is then
     marginalized per problem (the single-problem
     ``run_active_loop(hyper_samples=...)`` spelling, vmapped).
+    ``record_moments=False`` skips the per-step (Z_mean, Z_var) trajectory
+    (returns ``(final_state, None)``; the final state is identical) — for
+    serving runs that only consume the end state, this drops the per-step
+    V[Z] quadrature from the compiled loop entirely.
     """
 
     def step(sts, _):
@@ -630,6 +636,8 @@ def run_active_loop_batch(states: BQState, opts: BQOptions, loglik_fn, grid,
             )(sts, hyper_samples)
         l_next = jax.vmap(loglik_fn)(x_next)
         sts = add_observation_batch(sts, opts, x_next, l_next)
+        if not record_moments:
+            return sts, None
         return sts, (Z_mean_batch(sts, opts), Z_var_batch(sts, opts))
 
     return jax.lax.scan(step, states, None, length=n_steps)
