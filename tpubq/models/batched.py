@@ -840,9 +840,11 @@ class BQFleet:
         return self
 
     def run_active_loop(self, loglik_fn, grid, n_steps: int, n: int = 0,
-                        seed=None):
+                        seed=None, record_moments: bool = True):
         """Advance every problem ``n_steps`` (one compiled scan); returns the
-        per-step (Z_mean, Z_var) histories, each (n_steps, B). ``n > 0``
+        per-step (Z_mean, Z_var) histories, each (n_steps, B), or
+        ``(None, None)`` with ``record_moments=False`` (the per-step V[Z]
+        quadrature drops out of the loop; final state identical). ``n > 0``
         marginalizes each step's acquisition over ``n`` per-problem hyper
         samples (``BQ.choose_next(x, n)`` inside the loop, fleet-wide)."""
         if np.any(self.ns + n_steps > self.options.max_obs):
@@ -856,10 +858,13 @@ class BQFleet:
             hyper_samples = sample_hypers_batch(
                 self._states, self.options, self._key(seed), n
             )
-        self._states, (zms, zvs) = run_active_loop_batch(
+        self._states, moments = run_active_loop_batch(
             self._states, self.options, loglik_fn, grid, n_steps,
-            hyper_samples=hyper_samples,
+            hyper_samples=hyper_samples, record_moments=record_moments,
         )
+        if not record_moments:
+            return None, None
+        zms, zvs = moments
         return np.asarray(zms), np.asarray(zvs)
 
     # -- persistence ------------------------------------------------------------
