@@ -75,6 +75,13 @@ def main():
     zms, zvs = fleet.marginalize(n=32, seed=1)
     err_marg = np.abs(zms.mean(axis=1) - z_true) / z_true
     print(f"marginalized (n=32/problem): median rel-err {np.median(err_marg):.2e}")
+
+    # serving observability: per-problem diagnostics in one dispatch
+    diag = fleet.health()
+    assert bool(np.all(np.asarray(diag["alpha_l_finite"])))
+    print(f"health: max cond(K_l) ~ "
+          f"{float(np.max(np.asarray(diag['gp_l']['cond_estimate']))):.1e}, "
+          f"max jitter {float(np.max(np.asarray(diag['jitter_l']))):.1e}")
     print("done: every problem advanced in lock-step, one dispatch per op")
 
 
