@@ -446,67 +446,21 @@ def _active_loop_throughput(n_steps=40, k_short=4, k_long=20):
 def _fleet_esm_throughput(B=64):
     """Aggregate ESM points/s scoring B problems' shared 1e4 grid in one
     dispatch (the block-packed fleet scorer on TPU, the vmapped scorer on
-    CPU — whatever ``expected_squared_mean_batch`` auto-routes to). Same
-    scan-length differencing as the headline; the per-iteration
-    perturbation touches every problem's factors so the fleet precompute
-    re-runs each sweep."""
+    CPU — whatever ``expected_squared_mean_batch`` auto-routes to).
+
+    Delegates to ``benchmarks.fleet_esm.measure`` — the same builder +
+    scan-differencing program as the B-sweep, so this metric and the
+    PARITY.md sweep tables can never time subtly different code."""
     import jax
 
     _enable_compile_cache()
-    import jax.numpy as jnp
-
     import tpubq  # noqa: F401
+    from benchmarks.fleet_esm import measure
     from tpubq.models import batched
-    from tpubq.utils.options import BQOptions
 
-    platform = jax.devices()[0].platform
-    dtype = "float32" if platform != "cpu" else "float64"
-    opts = BQOptions(
-        n_candidate=12, candidate_thresh=0.2, max_obs=16, dtype=dtype,
-        use_pallas=(platform == "tpu"),
-    )
-    rng = np.random.RandomState(0)
-    xs = np.stack([np.linspace(-2.2, 2.2, N_OBS) + 0.03 * rng.standard_normal(N_OBS)
-                   for _ in range(B)])
-    mus = rng.uniform(-0.5, 0.5, B)
-    ls = np.exp(-0.5 * (xs - mus[:, None]) ** 2 / 0.25) / np.sqrt(2 * np.pi * 0.25)
-    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
-                                params_l=(0.3, 0.4))
-    grid = jnp.asarray(np.linspace(-4, 4, N_GRID), opts.np_dtype)[:, None]
-
-    def body(eps, _):
-        gl = states.gp_l._replace(
-            L=states.gp_l.L * (1.0 + eps),
-            alpha=states.gp_l.alpha * (1.0 + eps),
-            Kinv=states.gp_l.Kinv * (1.0 + eps),
-        )
-        gt = states.gp_log_l._replace(
-            alpha=states.gp_log_l.alpha * (1.0 + eps),
-            Kinv=states.gp_log_l.Kinv * (1.0 + eps),
-        )
-        sts = states._replace(gp_l=gl, gp_log_l=gt)
-        sc = batched.expected_squared_mean_batch(sts, opts, grid + eps)
-        return eps + 1e-30 * jnp.mean(sc), jnp.sum(sc)
-
-    def run(n, reps):
-        f = jax.jit(lambda e: jax.lax.scan(body, e, None, length=n))
-        e0 = jnp.asarray(0.0, opts.np_dtype)
-        out = f(e0)
-        jax.block_until_ready(out)
-        assert bool(np.all(np.isfinite(np.asarray(out[1])))), "non-finite fleet ESM"
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(e0))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    n_short, n_long = 8, 264
-    t_short, t_long = run(n_short, 5), run(n_long, 5)
-    dt = (t_long - t_short) / (n_long - n_short)
-    if dt <= 0:
-        dt = t_long / n_long
-    return B * N_GRID / dt, platform
+    rate, _dt = measure(B, batched.expected_squared_mean_batch,
+                        n_short=8, n_long=264, reps=5)
+    return rate, jax.devices()[0].platform
 
 
 def _fleet_active_loop_throughput(B=64, n_short=8, n_long=24):
@@ -529,20 +483,15 @@ def _fleet_active_loop_throughput(B=64, n_short=8, n_long=24):
     from tpubq.models import batched
     from tpubq.utils.options import BQOptions
 
+    from benchmarks.fleet_esm import build_fleet
+
     platform = jax.devices()[0].platform
     dtype = "float32" if platform != "cpu" else "float64"
     opts = BQOptions(
         n_candidate=12, candidate_thresh=0.2, max_obs=48, dtype=dtype,
         use_pallas=(platform == "tpu"),
     )
-    rng = np.random.RandomState(0)
-    n0 = 8
-    xs = np.stack([np.linspace(-2.2, 2.2, n0) + 0.03 * rng.standard_normal(n0)
-                   for _ in range(B)])
-    mus = rng.uniform(-0.5, 0.5, B)
-    ls = np.exp(-0.5 * (xs - mus[:, None]) ** 2 / 0.25) / np.sqrt(2 * np.pi * 0.25)
-    states = batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
-                                params_l=(0.3, 0.4))
+    states = build_fleet(B, opts, n_obs=8)
     grid = jnp.asarray(np.linspace(-4, 4, N_GRID), opts.np_dtype)[:, None]
 
     def loglik(xa):

@@ -33,11 +33,13 @@ N_GRID = 10_000
 N_OBS = 10
 
 
-def build_fleet(B, opts):
+def build_fleet(B, opts, n_obs=N_OBS):
+    """The ONE fleet-geometry builder shared by this sweep and bench.py's
+    fleet metrics — a methodology change here changes both identically."""
     from tpubq.models import batched
 
     rng = np.random.RandomState(0)
-    xs = np.stack([np.linspace(-2.2, 2.2, N_OBS) + 0.03 * rng.standard_normal(N_OBS)
+    xs = np.stack([np.linspace(-2.2, 2.2, n_obs) + 0.03 * rng.standard_normal(n_obs)
                    for _ in range(B)])
     mus = rng.uniform(-0.5, 0.5, B)
     ls = np.exp(-0.5 * (xs - mus[:, None]) ** 2 / 0.25) / np.sqrt(2 * np.pi * 0.25)

@@ -39,6 +39,11 @@ def _marker_owner_alive():
     try:
         with open(_DIRTY_MARKER) as f:
             pid = int(f.read().strip() or "0")
+        if pid <= 0:
+            # empty/corrupt marker (writer died mid-write): os.kill(0, 0)
+            # would signal OUR process group and always "succeed" — treat
+            # as a crashed owner so the cache gets wiped.
+            return False
         os.kill(pid, 0)
         return True
     except (OSError, ValueError):

@@ -526,3 +526,43 @@ def test_fleet_long_loop_f32_no_duplicate_observations():
         x = np.sort(xs_out[b, :ns, 0])
         gap = np.diff(x).min()
         assert gap > 0.0, f"duplicate observation in problem {b}"
+
+
+def test_fleet_fit_noise_and_seed_roundtrip(tmp_path):
+    """Review r3: (a) ``fleet.fit(params='s')`` fits the observation noise
+    exactly as ``BQ.fit_hypers`` does (the surfaces previously diverged —
+    the fleet rejected 's'); (b) save/load round-trips the instance-RNG
+    seed, so reloaded ensemble members keep drawing INDEPENDENT
+    hyper-sample streams instead of silently re-correlating on seed 0."""
+    from scipy import stats as st
+
+    xs = np.stack([np.linspace(-2.2, 2.2, 10)] * 2)
+    ls = np.stack([st.norm.pdf(xs[i], MUS[i], SIGS[i]) for i in range(2)])
+    fleet = batched.BQFleet(xs, ls, params_tl=(0.7, 0.8),
+                            params_l=(0.3, 0.4), n_candidate=10,
+                            candidate_thresh=0.2, max_obs=16, seed=7)
+    th_before = np.asarray(fleet.states.gp_log_l.theta).copy()
+    s_before = np.asarray(fleet.states.gp_log_l.s).copy()
+    fleet.fit(params="s", ntry=3, seed=0)
+    s_after = np.asarray(fleet.states.gp_log_l.s)
+    # only the noise moved; every kernel hyper is bit-identical. The data
+    # is noiseless (exact pdf values), so the fitted s lands near the
+    # optimizer's floor — tiny but strictly positive, unlike the exact 0.0
+    # it started from.
+    np.testing.assert_array_equal(th_before, np.asarray(fleet.states.gp_log_l.theta))
+    assert not np.array_equal(s_before, s_after)
+    assert np.all(s_after > 0)
+
+    p = tmp_path / "fleet_seeded.npz"
+    fleet.save(p)
+    loaded = batched.BQFleet.load(p)
+    assert loaded._seed == 7
+    # the restored RNG continues the seed-7 stream from its start
+    assert (np.random.RandomState(7).randint(0, 2**31 - 1)
+            == loaded._rng.randint(0, 2**31 - 1))
+    # pre-seed checkpoints (no __x_seed field) fall back to seed 0
+    from tpubq.utils.io import save_state
+
+    p0 = tmp_path / "fleet_preseed.npz"
+    save_state(p0, fleet.states, fleet.options)
+    assert batched.BQFleet.load(p0)._seed == 0

@@ -172,6 +172,13 @@ def test_save_load_roundtrip(tmp_path):
     assert abs(bq2.Z_mean() - bq.Z_mean()) < 1e-12
     assert abs(bq2.Z_var() - bq.Z_var()) < 1e-12
 
+    # the instance-RNG seed round-trips (review r3: reloading previously
+    # reset every estimator to seed 0, re-correlating ensembles)
+    bq_s = tu.make_bq(seed=11)
+    fs = tmp_path / "bq_seeded.npz"
+    bq_s.save(fs)
+    assert tpubq.BQ.load(fs)._seed == 11
+
 
 def test_marginalize_shapes_and_consistency():
     bq = tu.make_bq()
@@ -862,6 +869,17 @@ def test_measure_and_gamma_validation():
                    x_mean=0.0, x_var=0.0)
     bq0.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
     assert abs(bq0.Z_mean() - 1.0) < 0.1  # Z -> l(0) = 1
+
+    # rank-deficient but PSD covariances must pass: eigvalsh reports
+    # ~-1e-16 eigenvalues for np.outer(v, v) and a zero-tolerance check
+    # rejected them (review r3 finding #1); W + Sigma stays PD downstream
+    from tpubq.models import bq as _bqm
+
+    v = np.array([1.0, 2.0, 3.0])
+    _bqm.validate_measure(np.outer(v, v))  # must not raise
+    _bqm.validate_measure(np.zeros((2, 2)))  # degenerate-in-all-dims OK
+    with pytest.raises(ValueError, match="positive semi-definite"):
+        _bqm.validate_measure(np.array([[1.0, 0.0], [0.0, -1e-6]]))
 
     from tpubq.utils.options import BQOptions
 

@@ -79,6 +79,7 @@ class BQ:
         self._initialized = False
         # instance RNG: seed=0 default is reproducible; pass seed= at
         # construction for independent streams across ensemble members
+        self._seed = seed
         self._rng = np.random.RandomState(seed)
         logger.debug("BQ created with %d observations, options=%s", x.shape[0], self.options)
 
@@ -219,25 +220,6 @@ class BQ:
         return out[0] if self._is_single_point(x_a) else out
 
     # ---------------------------------------------------------------- fitting
-    def _param_free_mask(self, params) -> Optional[jnp.ndarray]:
-        """(p,) bool mask over one GP's local theta from reference-style hyper
-        names ('h', 'w', 'p'); None when every param is free."""
-        from tpubq.models.marginalize import _names_for
-
-        local = _names_for(self.options)
-        params = tuple(params)
-        unknown = set(params) - set(local)
-        if unknown:
-            raise ValueError(
-                f"unknown hyperparameters {sorted(unknown)} for kernel "
-                f"{self.options.kernel!r}; valid: {sorted(local)}"
-            )
-        p_len = int(self.state.gp_log_l.theta.shape[0])
-        free = np.zeros(p_len, bool)
-        for nm in params:
-            free[list(local[nm])] = True
-        return None if free.all() else jnp.asarray(free)
-
     def fit_hypers(self, params: Optional[Sequence[str]] = None, ntry: int = 10, seed=None):
         """Multi-restart MLL fit of the NAMED kernel params on both GPs
         (bq.py::BQ.fit_hypers parity, incl. the ``params`` subset: unlisted
@@ -248,11 +230,9 @@ class BQ:
         GP params vector is (theta..., s))."""
         st = self.state
         opts = self.options
-        params = self._norm_params(params)
-        fit_noise = "s" in params
-        theta_params = tuple(pp for pp in params if pp != "s")
-        free_mask = self._param_free_mask(theta_params) if theta_params else jnp.zeros(
-            int(st.gp_log_l.theta.shape[0]), bool
+        # name handling shared with BQFleet.fit (fit.py::resolve_param_names)
+        fit_noise, free_mask = fitm.resolve_param_names(
+            opts, int(st.gp_log_l.theta.shape[0]), params
         )
         k1, k2, k3, k4 = jax.random.split(self._key(seed), 4)
         from tpubq.ops.pallas_kernels import on_tpu
@@ -475,6 +455,7 @@ class BQ:
             gamma=float(st.gamma),
             x_mean=np.asarray(st.x_mean),
             x_var=np.asarray(st.x_var),
+            seed=self._seed,
             **{f"opt_{k}": getattr(self.options, k) for k in _OPTION_KEYS},
         )
 
@@ -498,6 +479,8 @@ class BQ:
                 gamma=float(d["gamma"]),
                 s=float(d["s_tl"]),
                 s_l=float(d["s_l"]),
+                # instance-RNG seed round-trips (pre-seed files default 0)
+                seed=int(d["seed"][()]) if "seed" in d.files else 0,
                 **{k: (v.item() if hasattr(v, "item") and k not in ("kernel", "dtype") else v)
                    for k, v in opts.items()},
             )

@@ -498,15 +498,17 @@ def expected_Z_var_batch(
     return (zm * zm + zv)[:, None] - esm
 
 
-@partial(jax.jit, static_argnames=("opts", "ntry"))
+@partial(jax.jit, static_argnames=("opts", "ntry", "fit_noise"))
 def fit_batch(states: BQState, opts: BQOptions, key, ntry: int = 10,
-              free_mask=None) -> BQState:
+              free_mask=None, fit_noise: bool = False) -> BQState:
     """Per-problem multi-restart MLL fit of both GPs (the fleet spelling of
     ``BQ.fit_hypers``): each problem fits θ_tl on its observations,
     re-anchors its candidates, then fits θ_l — all B × ntry restarts in
     one compiled program (vmap over problems of the vmapped-restart
     L-BFGS). ``free_mask``: optional (p,) bool shared across the fleet
-    (reference ``fit_hypers(params)`` subsets)."""
+    (reference ``fit_hypers(params)`` subsets). ``fit_noise``: also fit
+    each GP's observation noise s jointly with θ (``params`` naming 's',
+    reference GP params vector (theta..., s))."""
     from tpubq.models import fit as fitm
 
     B = states.ns.shape[0]
@@ -514,6 +516,18 @@ def fit_batch(states: BQState, opts: BQOptions, key, ntry: int = 10,
 
     def one(st, k):
         k1, k2, k3, k4 = jax.random.split(k, 4)
+        if fit_noise:
+            th_tl, s_tl, _ = fitm.fit_params_with_noise(
+                opts.kernel, st.gp_log_l.theta, st.gp_log_l.s, st.x_s,
+                st.tl_s, st.obs_mask, k2, n_restart=ntry, free_mask=free_mask,
+            )
+            st = bqm.set_params(st, opts, theta_tl=th_tl, s_tl=s_tl)
+            l_sc = jnp.where(st.sc_mask, st.l_sc, 0.0)
+            th_l, s_l, _ = fitm.fit_params_with_noise(
+                opts.kernel, st.gp_l.theta, st.gp_l.s, st.x_sc, l_sc,
+                st.sc_mask, k4, n_restart=ntry, free_mask=free_mask,
+            )
+            return bqm.set_params(st, opts, theta_l=th_l, s_l=s_l)
         inits_tl = fitm.random_restarts(
             k1, st.gp_log_l.theta, st.x_s, st.tl_s, st.obs_mask, ntry,
             kernel=opts.kernel,
@@ -602,6 +616,22 @@ def choose_next_batch(states: BQState, opts: BQOptions, grid, fast: bool = False
 
 
 @partial(jax.jit, static_argnames=("opts",))
+def choose_next_marg_batch(states: BQState, opts: BQOptions, grid,
+                           thetas) -> jnp.ndarray:
+    """Per-problem hyper-marginalized selection → (B, d).
+
+    ``thetas``: (B, n, p) per-problem hyper draws (sample_hypers_batch);
+    each problem's grid ESM is averaged over ITS OWN n samples before the
+    duplicate-avoiding argmax — one compiled program for the whole fleet
+    (``BQ.choose_next(x, n)``, fleet-wide)."""
+    from tpubq.models.acquire import choose_next as _cn
+
+    grid = jnp.asarray(grid, states.x_s.dtype)
+    x_next, _ = jax.vmap(lambda st, th: _cn(st, opts, grid, th))(states, thetas)
+    return x_next
+
+
+@partial(jax.jit, static_argnames=("opts",))
 def add_observation_batch(states: BQState, opts: BQOptions, x_new, l_new) -> BQState:
     """Append one observation per problem and refit the whole fleet."""
     return jax.vmap(acquire.add_observation, (0, None, 0, 0))(
@@ -667,6 +697,7 @@ class BQFleet:
             options, xs.shape[2] if xs.ndim == 3 else 1, xs.shape[1]
         )
         self.options = opts
+        self._seed = seed
         self._rng = np.random.RandomState(seed)
         self._states = init_batch(
             xs, ls, self.options, params_tl=params_tl, params_l=params_l,
@@ -675,7 +706,8 @@ class BQFleet:
 
     # -- construction from existing states ----------------------------------
     @classmethod
-    def from_states(cls, states: BQState, opts: BQOptions) -> "BQFleet":
+    def from_states(cls, states: BQState, opts: BQOptions,
+                    seed: int = 0) -> "BQFleet":
         if states.ns.ndim != 1:
             raise ValueError(
                 "BQFleet needs a BATCHED state (every leaf with a leading "
@@ -686,7 +718,8 @@ class BQFleet:
         obj = object.__new__(cls)
         obj.options = opts
         obj._states = states
-        obj._rng = np.random.RandomState(0)
+        obj._seed = seed
+        obj._rng = np.random.RandomState(seed)
         return obj
 
     def _key(self, seed):
@@ -735,27 +768,16 @@ class BQFleet:
     def fit(self, params=None, ntry: int = 10, seed=None) -> "BQFleet":
         """Per-problem multi-restart MLL fit of both GPs (the fleet
         spelling of ``BQ.fit_hypers``; ``params`` names subset the free
-        hypers exactly as there)."""
-        free_mask = None
-        if params is not None:
-            from tpubq.models.marginalize import _names_for
+        hypers exactly as there, including 's' for the observation
+        noise)."""
+        from tpubq.models import fit as fitm
 
-            local = _names_for(self.options)
-            params = (params,) if isinstance(params, str) else tuple(params)
-            unknown = set(params) - set(local)
-            if unknown:
-                raise ValueError(
-                    f"unknown hyperparameters {sorted(unknown)} for kernel "
-                    f"{self.options.kernel!r}; valid: {sorted(local)}"
-                )
-            p_len = int(self._states.gp_log_l.theta.shape[1])
-            fm = np.zeros(p_len, bool)
-            for nm in params:
-                fm[list(local[nm])] = True
-            free_mask = None if fm.all() else jnp.asarray(fm)
+        fit_noise, free_mask = fitm.resolve_param_names(
+            self.options, int(self._states.gp_log_l.theta.shape[1]), params
+        )
         self._states = fit_batch(self._states, self.options,
                                  self._key(seed), ntry=ntry,
-                                 free_mask=free_mask)
+                                 free_mask=free_mask, fit_noise=fit_noise)
         return self
 
     fit_hypers = fit
@@ -799,13 +821,9 @@ class BQFleet:
             thetas = sample_hypers_batch(
                 self._states, self.options, self._key(seed), n
             )
-            from tpubq.models.acquire import choose_next as _cn
-
-            x_next, _ = jax.vmap(
-                lambda st, th: _cn(st, self.options, jnp.asarray(
-                    grid, self._states.x_s.dtype), th)
-            )(self._states, thetas)
-            return np.asarray(x_next)
+            return np.asarray(choose_next_marg_batch(
+                self._states, self.options, grid, thetas
+            ))
         x_next, _ = choose_next_batch(self._states, self.options, grid, fast=fast)
         return np.asarray(x_next)
 
@@ -883,14 +901,19 @@ class BQFleet:
     def save(self, path, force: bool = False):
         from tpubq.utils.io import save_state
 
-        save_state(path, self._states, self.options, force=force)
+        save_state(path, self._states, self.options, force=force,
+                   extras={"seed": self._seed})
 
     @classmethod
     def load(cls, path, refit: bool = False) -> "BQFleet":
-        from tpubq.utils.io import load_state
+        from tpubq.utils.io import load_extras, load_state
 
         states, opts = load_state(path, refit=refit)
-        return cls.from_states(states, opts)
+        # restore the instance-RNG seed so reloaded ensemble members keep
+        # drawing INDEPENDENT hyper-sample streams (pre-seed checkpoints
+        # fall back to 0, the old behavior)
+        seed = int(load_extras(path).get("seed", 0))
+        return cls.from_states(states, opts, seed=seed)
 
     def __repr__(self):
         return f"BQFleet(B={len(self)}, ns={self.ns.tolist()}, options={self.options})"

@@ -246,7 +246,13 @@ def validate_measure(x_var) -> None:
 
     v = _np.asarray(x_var, _np.float64)
     ev = _np.linalg.eigvalsh(v) if v.ndim >= 2 else v
-    if not _np.all(_np.isfinite(ev)) or _np.min(ev) < 0.0:
+    # PSD up to eigensolver roundoff: a rank-deficient but legitimate
+    # covariance (e.g. np.outer(v, v)) reports eigenvalues ~ -1e-16*scale,
+    # which must pass — only genuinely negative curvature is an error.
+    tol = 64.0 * _np.finfo(_np.float64).eps * max(
+        1.0, float(_np.max(_np.abs(ev))) if ev.size else 0.0
+    )
+    if not _np.all(_np.isfinite(ev)) or _np.min(ev) < -tol:
         raise ValueError(
             "x_var must be positive semi-definite; got "
             f"{'eigenvalues' if v.ndim >= 2 else 'variances'} "

@@ -21,7 +21,51 @@ import optax
 from tpubq.models import gp as gpm
 from tpubq.ops.kernels import get_kernel
 
-__all__ = ["fit_params", "fit_params_with_noise", "random_restarts"]
+__all__ = [
+    "fit_params", "fit_params_with_noise", "random_restarts",
+    "resolve_param_names",
+]
+
+
+def resolve_param_names(opts, p_len: int, params):
+    """Reference-style hyper names → ``(fit_noise, free_mask)``.
+
+    The ONE place ``fit_hypers(params=...)`` name handling lives — shared by
+    ``BQ.fit_hypers`` and ``BQFleet.fit`` so the two surfaces cannot drift
+    (they diverged once: the fleet rejected 's').
+
+    ``params``: None (every kernel hyper of the family free, noise fixed —
+    the reference default), a single name, or a sequence of names drawn
+    from the kernel family's names ('h', 'w', 'p', 'alpha', their '*_l'
+    twins where the caller supports them) plus 's' (observation noise,
+    reference GP params vector (theta..., s)). Returns ``fit_noise`` (was
+    's' named?) and ``free_mask`` over the LOCAL theta vector: None when
+    every theta is free, else a (p_len,) bool array (all-False when only
+    's' was named). Unknown names raise with the valid list.
+    """
+    import numpy as _np
+
+    from tpubq.models.marginalize import _names_for
+
+    local = _names_for(opts)
+    if params is None:
+        params = tuple(sorted(local))
+    elif isinstance(params, str):
+        params = (params,)
+    else:
+        params = tuple(params)
+    unknown = set(params) - set(local) - {"s"}
+    if unknown:
+        raise ValueError(
+            f"unknown hyperparameters {sorted(unknown)} for kernel "
+            f"{opts.kernel!r}; valid: {sorted(local) + ['s']}"
+        )
+    fit_noise = "s" in params
+    free = _np.zeros(p_len, bool)
+    for nm in params:
+        if nm != "s":
+            free[list(local[nm])] = True
+    return fit_noise, (None if free.all() else jnp.asarray(free))
 
 
 def _run_restarts(obj, inits, n_iter: int):

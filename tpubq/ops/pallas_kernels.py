@@ -884,7 +884,9 @@ def esm_fleet_l(scal, params, grid, xsc, w2inv, h2, msc, Kinv4, uz, alpha,
     """Packed linear-GP fleet scorer → (A, B, degen), each (NB*P, Gp).
 
     Shapes (NB = packed problem blocks, P problems each, NPB rows/problem):
-    scal (1, 2) [thresh, eps]; params (NB, P, 16) packed per-problem scalars;
+    scal (1, 4) [thresh, eps, λ, 0] (λ = the adaptive degenerate guard's
+    matmul-noise multiplier — see the kernel factory); params (NB, P, 16)
+    packed per-problem scalars;
     grid (d, G); xsc (NB, 128, d); w2inv/h2/msc/uz/alpha (NB, 128, 1);
     Kinv4 (NB, 128, 128) block-diagonal. Returns tile-padded arrays — caller
     slices [:B, :G].

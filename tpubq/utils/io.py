@@ -40,8 +40,14 @@ def _flat(state: bqm.BQState):
     return out
 
 
-def save_state(path, state: bqm.BQState, opts: BQOptions, force: bool = False):
-    """Write a BQState (+ its options) to one .npz."""
+def save_state(path, state: bqm.BQState, opts: BQOptions, force: bool = False,
+               extras: dict = None):
+    """Write a BQState (+ its options) to one .npz.
+
+    ``extras``: optional {name: scalar/array} side-channel fields (e.g. the
+    fleet's instance-RNG seed) stored as ``__x_<name>``; read back with
+    ``load_extras``. Kept out of the state/options namespaces so old
+    checkpoints stay loadable and new fields never shadow state leaves."""
     import os
 
     path = _npz_path(path)
@@ -51,7 +57,15 @@ def save_state(path, state: bqm.BQState, opts: BQOptions, force: bool = False):
         path,
         **_flat(state),
         **{f"__opt_{k}": getattr(opts, k) for k in _OPT_FIELDS},
+        **{f"__x_{k}": np.asarray(v) for k, v in (extras or {}).items()},
     )
+
+
+def load_extras(path) -> dict:
+    """Read back the ``extras`` side-channel of ``save_state`` (empty dict
+    for checkpoints written before a given extra existed)."""
+    with np.load(_npz_path(path), allow_pickle=False) as d:
+        return {k[len("__x_"):]: d[k][()] for k in d.files if k.startswith("__x_")}
 
 
 def load_state(path, refit: bool = False):
