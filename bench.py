@@ -66,26 +66,37 @@ def _ensure_live_platform(timeout_s: float = 180.0):
     import subprocess
     import sys
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, check=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-        return True
-    except Exception:
-        print(
-            f"WARNING: default platform failed to initialize within "
-            f"{timeout_s:.0f}s; falling back to CPU metrics",
-            file=sys.stderr,
-        )
-        import jax
-
+    # Three attempts with a pause: observed failure modes include a stale
+    # terminal-side claim that clears after a minute or two, and one
+    # wedged probe does not prove the tunnel is down for good. The probe
+    # must not just init but run one op — init has been seen to succeed
+    # while the first dispatch hangs.
+    for attempt in range(3):
         try:
-            jax.config.update("jax_platforms", "cpu")
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = jnp.ones((8, 8));"
+                 "jax.block_until_ready(x @ x)"],
+                timeout=timeout_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return True
         except Exception:
-            pass
-        return False
+            if attempt < 2:
+                time.sleep(30.0)
+    print(
+        f"WARNING: default platform failed to initialize within "
+        f"3x{timeout_s:.0f}s; falling back to CPU metrics",
+        file=sys.stderr,
+    )
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    return False
 
 
 def _settle(seconds: float = 4.0):

@@ -472,6 +472,15 @@ def test_matern52_kernel_bq_end_to_end():
     np.testing.assert_allclose(
         zm, float(bqm.approx_Z_mean(bq.state, bq.options, tu.make_xo())), rtol=1e-3
     )
+    # V[Z] for a Matérn kernel runs the GH bilinear form with the 512-node
+    # cusp floor (un-floored 128-node GH measured 4.7% off); pin it against
+    # the independent dense-trapezoid twin (gp_mean/gp_cov + trapezoid —
+    # no shared quadrature code)
+    np.testing.assert_allclose(
+        float(bq.Z_var()),
+        float(bqm.approx_Z_var(bq.state, bq.options, tu.make_xo())),
+        rtol=2e-3,
+    )
     bq.fit_hypers(seed=0)
     assert abs(bq.Z_mean() - Z) / Z < 2e-2
     grid = np.linspace(-3, 3, 41)
@@ -893,3 +902,12 @@ def test_measure_and_gamma_validation():
     with pytest.raises(ValueError, match="gamma"):
         batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
                            params_l=(0.3, 0.4), gamma=0.0)
+
+
+def test_large_n_gh_stays_finite():
+    """numpy's hermegauss weight formula 1/(H'_n)^2 overflows for
+    n >~ 384 and silently NaNs every GH weight (measured: n_gh=512 gave
+    V[Z]=nan); the scipy roots_hermitenorm rule is stable past 1024."""
+    bq = tu.make_bq(n_gh=512, dtype="float32")  # f32 dispatches Z_var -> GH
+    v = bq.Z_var()
+    assert np.isfinite(v) and v > 0

@@ -62,7 +62,13 @@ def _measure_nodes(mu, Sig, n1d=160):
     mu = np.asarray(mu, float)
     Sig = np.asarray(Sig, float)
     d = mu.shape[0]
-    t, w = np.polynomial.hermite_e.hermegauss(n1d)
+    # scipy's rule (stable past 384 nodes; numpy's hermegauss weights
+    # overflow → NaN there). Node SOURCE shared with production is fine:
+    # this oracle's independence is the bordered-solve algebra, and a
+    # matching rule makes the quadrature contribution cancel exactly.
+    from scipy.special import roots_hermitenorm
+
+    t, w = roots_hermitenorm(n1d)
     w = w / np.sqrt(2.0 * np.pi)
     sd = np.sqrt(np.diag(Sig))
     axes = np.meshgrid(*[mu[j] + sd[j] * t for j in range(d)], indexing="ij")
@@ -212,15 +218,14 @@ def test_esm_oracle_1d_gaussian_anisotropy_free():
 
 def test_esm_oracle_1d_matern52():
     """1-D matern52 ESM vs the oracle — no closed form exists, so BOTH sides
-    must integrate the measure. The oracle uses the same standard 128-node
-    GH rule (independently constructed from numpy hermegauss) so the
-    quadrature contribution cancels and the comparison pins the
+    must integrate the measure. Production floors 1-D Matérn to a 512-node
+    rule (bq._gh_nodes cusp floor); the oracle uses the same standard rule
+    so the quadrature contribution cancels and the comparison pins the
     bordered-solve ALGEBRA sharply; a second, denser-rule comparison bounds
-    the quadrature error itself (matern integrands are only finitely smooth
-    at the diagonal, so GH converges slowly — ~1e-4 between 128 and 160
-    nodes, measured)."""
-    _compare("matern52", 1, (0.7, 0.8), (0.35, 0.45), rtol=1e-6, n_meas=128)
-    _compare("matern52", 1, (0.7, 0.8), (0.35, 0.45), rtol=1e-3, n_meas=160)
+    the residual quadrature error itself (matern integrands are only
+    finitely smooth at the diagonal, so GH converges polynomially)."""
+    _compare("matern52", 1, (0.7, 0.8), (0.35, 0.45), rtol=1e-6, n_meas=512)
+    _compare("matern52", 1, (0.7, 0.8), (0.35, 0.45), rtol=1e-4, n_meas=768)
 
 
 def test_esm_oracle_2d_matern52():

@@ -266,7 +266,11 @@ def approx_expected_squared_mean(state: BQState, opts: BQOptions, x_a) -> jnp.nd
 
     dtype = state.x_s.dtype
     x_a = as_points(jnp.asarray(x_a, dtype), opts.dim)
-    gh_x, gh_w = np.polynomial.hermite_e.hermegauss(opts.n_gh)
+    # scipy's rule, not numpy's hermegauss: the latter's weights NaN for
+    # n >~ 384 (overflow in 1/(H'_n)^2) — see bq.py::_gh_nodes
+    from scipy.special import roots_hermitenorm
+
+    gh_x, gh_w = roots_hermitenorm(opts.n_gh)
     gh_x = jnp.asarray(gh_x, dtype)
     gh_w = jnp.asarray(gh_w / np.sqrt(2.0 * np.pi), dtype)
     A, B, degenerate, zTalpha, m_a, c_a = _esm_affine_terms(state, opts, x_a)

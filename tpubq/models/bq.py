@@ -453,9 +453,25 @@ def _gh_nodes(state: BQState, opts: BQOptions):
     # 7.2e-4 @ 60 (tests/test_esm_oracle.py pins the 20-vs-60 gap) — so
     # non-gaussian kernels get higher floors. Raise n_gh beyond the floor
     # for accuracy-critical non-smooth work.
-    _floor = {2: 20, 3: 12} if opts.kernel == "gaussian" else {2: 48, 3: 16}
-    n_axis = opts.n_gh if d == 1 else max(int(np.ceil(opts.n_gh ** (1.0 / d))), _floor.get(d, 8))
-    t, w = np.polynomial.hermite_e.hermegauss(n_axis)
+    cusp = opts.kernel.startswith("matern")  # periodic/rq are C^inf — only
+    # the Matérn family has the diagonal derivative cusp
+    _floor = {2: 48, 3: 16} if cusp else {2: 20, 3: 12}
+    if d == 1:
+        # same cusp logic in 1-D: matern52 V[Z] error vs the converged
+        # dense-trapezoid value is 4.7% at 128 nodes, 4.9e-4 at 512,
+        # 5.9e-5 at 1024 (measured round 3) — smooth kernels stay at the
+        # user's n_gh, Matérn gets a 512-node floor (262k kernel evals,
+        # still trivial)
+        n_axis = opts.n_gh if not cusp else max(opts.n_gh, 512)
+    else:
+        n_axis = max(int(np.ceil(opts.n_gh ** (1.0 / d))), _floor.get(d, 8))
+    # scipy, not np.polynomial.hermite_e.hermegauss: numpy's weight formula
+    # 1/(H'_n)^2 overflows for n >~ 384 and silently NaNs every weight
+    # (measured: n_gh=512 -> V[Z]=nan); scipy's Golub–Welsch route is
+    # stable past 1024.
+    from scipy.special import roots_hermitenorm
+
+    t, w = roots_hermitenorm(n_axis)
     w = w / np.sqrt(2.0 * np.pi)
     if d == 1:
         nodes1 = jnp.asarray(t, dtype)[:, None]
