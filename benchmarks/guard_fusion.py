@@ -19,6 +19,12 @@ Variants timed (same scan-differencing as bench.py's headline):
   nosum  — Σk without abs, still a separate reduce (isolates the abs cost)
   none   — eps·κ floor only (the pre-guard ceiling; NOT safe, ceiling only)
 
+Outcome: the `nosum` form (Σk without abs — exact because every registered
+kernel is positive-valued and padded slots are exact zeros) landed in
+production `_esm_affine_terms`; `prod` below still times the ORIGINAL
+abs-colsum strategy for the record. CPU measurement: nosum at 99.5% of the
+no-guard ceiling, bitwise-identical scores.
+
 Usage: python benchmarks/guard_fusion.py [--grid 10000] [--max-obs 16]
 """
 

@@ -853,6 +853,37 @@ def test_f32_esm_adaptive_guard_on_singular_gram():
     assert err.max() < 0.1, err.max()  # measured 3.4e-2; was 9.06 unguarded
 
 
+def test_guard_colsum_positive_kernel_invariant():
+    """The adaptive Schur-noise guard computes ‖k‖₁ as a PLAIN colsum
+    (acquire._esm_affine_terms): Σ|k| ≡ Σk holds only because every kernel
+    in the registry is positive-valued (the abs-free form lets XLA fuse the
+    reduce into k's producer — benchmarks/guard_fusion.py measured the abs
+    materialization at ~8% of the ESM headline). If a signed kernel ever
+    lands in ops.kernels._KERNELS, this test fails and jnp.abs must be
+    restored in the guard's colsum."""
+    import jax.numpy as jnp
+
+    from tpubq.ops.kernels import _KERNELS
+
+    rng = np.random.RandomState(3)
+    n_theta = {"gaussian": 3, "periodic": 3, "matern52": 3, "matern32": 3,
+               "rq": 4}
+    assert set(n_theta) == set(_KERNELS), "new kernel: extend this test"
+    for name, (kfn, kdiagfn) in _KERNELS.items():
+        d = 1 if name == "periodic" else 2
+        nt = n_theta[name] if name == "periodic" else n_theta[name] - 2 + d
+        for _ in range(5):
+            theta = jnp.asarray(rng.uniform(0.05, 3.0, nt), jnp.float32)
+            x1 = jnp.asarray(rng.uniform(-30, 30, (17, d)), jnp.float32)
+            x2 = jnp.asarray(rng.uniform(-30, 30, (23, d)), jnp.float32)
+            K = np.asarray(kfn(theta, x1, x2))
+            assert np.all(K >= 0.0), (name, K.min())
+            assert np.all(np.asarray(kdiagfn(theta, x1)) >= 0.0), name
+            # the exact property the guard relies on
+            np.testing.assert_array_equal(
+                np.sum(np.abs(K), axis=0), np.sum(K, axis=0))
+
+
 def test_measure_and_gamma_validation():
     """Round-3 robustness: a negative/indefinite x_var previously NaN'd
     every estimate silently, and gamma <= 0 produced silently-wrong

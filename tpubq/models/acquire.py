@@ -215,8 +215,15 @@ def _esm_affine_terms(state: BQState, opts: BQOptions, x_a):
         # MXU work — the exact bound measured a 35% headline regression,
         # this ~8%. The f64 cho_solve path keeps the reference-faithful
         # eps·κ (f64 noise is below any realistic γ_s).
+        # ‖k‖₁ as a PLAIN colsum: every registered kernel is positive-valued
+        # and the padded slots are exact zeros (mask multiply), so Σ|k| ≡ Σk
+        # bit-for-bit — and dropping the abs lets XLA fuse the colsum into
+        # k_a's producer instead of materializing a second (nsc × na) pass
+        # (measured ~8% of the headline; benchmarks/guard_fusion.py). The
+        # invariant is pinned by test_guard_colsum_positive_kernel_invariant;
+        # restore jnp.abs here if a signed kernel ever enters the registry.
         rho = jnp.max(jnp.sum(jnp.abs(gp_l.Kinv), axis=1))
-        noise = (_LAM_F32 * rho) * kappa * jnp.sum(jnp.abs(k_a), axis=0)
+        noise = (_LAM_F32 * rho) * kappa * jnp.sum(k_a, axis=0)
         gam_floor = jnp.maximum(gam_floor, noise)
     degenerate = jnp.logical_or(too_close, gam_s <= gam_floor)
     safe_gam = jnp.where(degenerate, 1.0, gam_s)
