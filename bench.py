@@ -257,8 +257,15 @@ def _tpubq_throughput():
 
     # the per-sweep cost is tens of µs: the iteration delta must dwarf the
     # tunnel's per-run jitter (±ms), hence thousands of iterations
-    n_short, n_long = 16, 2064
-    t_short, t_long = run(n_short, 7), run(n_long, 7)
+    n_short, n_long, reps = 16, 2064, 7
+    if platform == "cpu":
+        # Wedged-tunnel fallback sizing: the thousands-long scans exist to
+        # dwarf the tunnel's ±ms dispatch jitter, which the host path does
+        # not have — and at CPU rates (~1000× lower) full-size scans blow
+        # the driver's capture budget (observed: the five metrics exceeded
+        # a 50-min timeout on one core). Same differencing, shorter scans.
+        n_short, n_long, reps = 4, 132, 3
+    t_short, t_long = run(n_short, reps), run(n_long, reps)
     dt = (t_long - t_short) / (n_long - n_short)
     if dt <= 0:  # tunnel jitter outlier swamped the delta: fall back to the
         dt = t_long / n_long  # conservative upper bound (includes overhead)
@@ -345,6 +352,9 @@ def _marginalize_throughput(n_samples=100, n_short=16, n_long=112):
     from tpubq.models import bq as bqm, marginalize as margm
 
     state, opts, platform = _bench_state()
+    reps = REPEATS
+    if platform == "cpu":  # wedged-tunnel fallback sizing — see _tpubq_throughput
+        n_short, n_long, reps = 4, 28, 2
     key = jax.random.PRNGKey(0)
     thetas = margm.sample_hypers(state, opts, key, n_samples, nburn=10)
     jax.block_until_ready(thetas)
@@ -368,8 +378,8 @@ def _marginalize_throughput(n_samples=100, n_short=16, n_long=112):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_s = time_min(make_batched(n_short), thetas)
-    t_l = time_min(make_batched(n_long), thetas)
+    t_s = time_min(make_batched(n_short), thetas, reps)
+    t_l = time_min(make_batched(n_long), thetas, reps)
     batched = (t_l - t_s) / (n_long - n_short)
     if batched <= 0:
         batched = t_l / n_long
@@ -391,8 +401,8 @@ def _marginalize_throughput(n_samples=100, n_short=16, n_long=112):
             return tots
         return f
 
-    s_s = time_min(make_seq(1), thetas)
-    s_l = time_min(make_seq(5), thetas)
+    s_s = time_min(make_seq(1), thetas, reps)
+    s_l = time_min(make_seq(5), thetas, reps)
     seq = (s_l - s_s) / 4
     if seq <= 0:
         seq = s_l / 5
@@ -420,6 +430,9 @@ def _active_loop_throughput(n_steps=40, k_short=4, k_long=20):
     from tpubq.models import acquire
 
     state, opts, platform = _bench_state(max_obs=64)
+    reps = 3
+    if platform == "cpu":  # wedged-tunnel fallback sizing — see _tpubq_throughput
+        k_short, k_long, reps = 1, 3, 2
     grid = jnp.asarray(np.linspace(-4, 4, N_GRID), state.x_s.dtype)[:, None]
 
     mu, sig2 = 0.2, 0.25
@@ -441,7 +454,7 @@ def _active_loop_throughput(n_steps=40, k_short=4, k_long=20):
         e0 = jnp.asarray(1e-7, state.x_s.dtype)
         jax.block_until_ready(f(e0))  # compile
         ts = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             jax.block_until_ready(f(e0))
             ts.append(time.perf_counter() - t0)
@@ -469,9 +482,11 @@ def _fleet_esm_throughput(B=64):
     from benchmarks.fleet_esm import measure
     from tpubq.models import batched
 
+    platform = jax.devices()[0].platform
+    ns, nl, reps = (8, 264, 5) if platform != "cpu" else (2, 12, 2)
     rate, _dt = measure(B, batched.expected_squared_mean_batch,
-                        n_short=8, n_long=264, reps=5)
-    return rate, jax.devices()[0].platform
+                        n_short=ns, n_long=nl, reps=reps)
+    return rate, platform
 
 
 def _fleet_active_loop_throughput(B=64, n_short=8, n_long=24):
@@ -497,6 +512,9 @@ def _fleet_active_loop_throughput(B=64, n_short=8, n_long=24):
     from benchmarks.fleet_esm import build_fleet
 
     platform = jax.devices()[0].platform
+    reps = REPEATS
+    if platform == "cpu":  # wedged-tunnel fallback sizing — see _tpubq_throughput
+        n_short, n_long, reps = 1, 4, 2
     dtype = "float32" if platform != "cpu" else "float64"
     opts = BQOptions(
         n_candidate=12, candidate_thresh=0.2, max_obs=48, dtype=dtype,
@@ -523,7 +541,7 @@ def _fleet_active_loop_throughput(B=64, n_short=8, n_long=24):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_short, t_long = run(n_short), run(n_long)
+    t_short, t_long = run(n_short, reps), run(n_long, reps)
     dt = (t_long - t_short) / (n_long - n_short)
     if dt <= 0:
         dt = t_long / n_long
