@@ -754,6 +754,28 @@ def test_plotting_raises_for_multidim():
         bq.plot_gp_l()
 
 
+def test_plotting_2d_smoke():
+    """d=2 diagnostics (extension: the reference plot_* set is 1-D-only):
+    bq.plot routes to the heatmap triptych, plot_2d is callable directly,
+    and d=1 problems reject plot_2d."""
+    import tpubq
+    from scipy import stats
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-2, 2, (12, 2))
+    L = stats.multivariate_normal.pdf(X, np.zeros(2), np.eye(2) * 0.4)
+    bq = tpubq.BQ(X, L, dim=2, n_candidate=6, candidate_thresh=0.25, max_obs=24)
+    bq.init()
+    fig, axes = bq.plot()
+    assert len(axes) == 3
+    fig2, _ = bq.plot_2d(n=24)
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+    with pytest.raises(ValueError, match="d=2"):
+        tu.make_bq().plot_2d()
+
+
 def test_scalar_params_raise_value_error():
     """A 0-d params value must produce the designed ValueError (entry-count
     message), not an IndexError from shape[0] on a scalar."""

@@ -134,3 +134,65 @@ def plot_expected_squared_mean(bq, x_a, scores, ax=None):
     ax.plot(np.asarray(x_a).reshape(-1), np.asarray(scores), "C2-")
     ax.set_title("choose_next scores")
     return ax
+
+
+# --- 2-D diagnostics (extension: the reference's plot_* set is 1-D-only,
+# --- but this framework is general-d, so d=2 gets the same observability)
+
+
+def _grid2(bq, n):
+    """(xx, yy, X) — an n×n box padded 10% around the observations."""
+    xs = np.asarray(bq.x_s)
+    lo, hi = xs.min(axis=0), xs.max(axis=0)
+    pad = 0.1 * (hi - lo)
+    ax0 = np.linspace(lo[0] - pad[0], hi[0] + pad[0], n)
+    ax1 = np.linspace(lo[1] - pad[1], hi[1] + pad[1], n)
+    xx, yy = np.meshgrid(ax0, ax1)
+    return xx, yy, np.stack([xx.ravel(), yy.ravel()], axis=1)
+
+
+def _overlay2(bq, ax):
+    ax.plot(np.asarray(bq.x_s)[:, 0], np.asarray(bq.x_s)[:, 1], "ro", ms=4)
+    if bq.nc:
+        xc = np.asarray(bq.x_c)
+        ax.plot(xc[:, 0], xc[:, 1], "ws", mfc="none", ms=4)
+
+
+def plot_2d(bq, f_l=None, n=80):
+    """1×3 combined diagnostic for d=2 problems: posterior mean of the
+    log-GP, linearized mean of the linear GP, and the ESM acquisition
+    surface, each with observations (dots) and candidates (open squares)
+    overlaid. The d=2 counterpart of ``plot``; returns ``(fig, axes)``.
+
+    ``f_l`` is accepted for signature symmetry with the 1-D set but only
+    used to title-check: the truth surface is not drawn (a contour overlay
+    of a user likelihood on 3 panels reads poorly at this size).
+    """
+    import jax.numpy as jnp
+    import matplotlib.pyplot as plt
+
+    from tpubq.models import gp as gpm
+    from tpubq.ops.kernels import get_kernel
+
+    if bq.options.dim != 2:
+        raise ValueError("plot_2d requires a d=2 problem; use plot for d=1")
+    kfn, _ = get_kernel(bq.options.kernel)
+    xx, yy, X = _grid2(bq, n)
+    Xj = jnp.asarray(X, bq.options.np_dtype)
+
+    m_tl = np.asarray(gpm.gp_mean(kfn, bq.state.gp_log_l, Xj)).reshape(n, n)
+    m_l = np.asarray(gpm.gp_mean(kfn, bq.state.gp_l, Xj)).reshape(n, n)
+    esm = np.asarray(bq.expected_squared_mean(X)).reshape(n, n)
+
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.4))
+    for ax, Z, title in zip(
+        axes,
+        (m_tl, m_l, esm),
+        ("$m_{\\log\\ell}$", "$m_\\ell$", "expected squared mean"),
+    ):
+        pc = ax.pcolormesh(xx, yy, Z, shading="auto")
+        fig.colorbar(pc, ax=ax, shrink=0.85)
+        _overlay2(bq, ax)
+        ax.set_title(title)
+    fig.tight_layout()
+    return fig, axes
