@@ -322,3 +322,86 @@ def test_integral_family_fuzz_general_d_vs_qmc():
         ref = (k(h1, w1, nodes1, x1) * mid[:, None]).mean(axis=0)
         np.testing.assert_allclose(got, ref, rtol=4 * tol,
                                    err_msg=f"int_K1_int_K2 d={d}")
+
+
+# --- 1-D Matérn closed-form measure integrals (extension; see
+# --- integrals._int_K_matern_1d for the derivation being pinned here)
+
+
+@pytest.mark.parametrize("name,fn", [
+    ("matern52", igr.int_K_matern52_1d),
+    ("matern32", igr.int_K_matern32_1d),
+])
+def test_int_K_matern_1d_vs_quad(name, fn):
+    """Closed form vs adaptive quadrature across (h, w, mu, sigma, a) draws,
+    split at the kernel cusp so quad converges."""
+    kfn, _ = get_kernel(name)
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        h, w = rng.uniform(0.1, 2.5), rng.uniform(0.05, 4.0)
+        mu, s2 = rng.uniform(-2, 2), rng.uniform(1e-3, 6.0)
+        a = rng.uniform(-5, 5)
+        got = float(fn(_j([[a]]), _j(h), _j([w]), _j([mu]), _j([[s2]]))[0])
+        th = _j([h, w])
+
+        def f(xp):
+            kv = float(kfn(th, _j([[xp]]), _j([[a]]))[0, 0])
+            return kv * np.exp(-0.5 * (xp - mu) ** 2 / s2) / np.sqrt(2 * np.pi * s2)
+
+        sd = np.sqrt(s2)
+        lo, hi = mu - 12 * sd, mu + 12 * sd
+        pts = [a] if lo < a < hi else None
+        want = si.quad(f, lo, hi, points=pts, limit=300)[0]
+        np.testing.assert_allclose(got, want, rtol=5e-9, atol=1e-300)
+
+
+def test_int_K_matern_1d_narrow_kernel_mass():
+    """w << sigma: quadrature rules MISS the spike (scipy.quad returns ~0
+    with default subdivisions); the closed form keeps the exact mass
+    h^2 * 16/(3c) * N(a | mu, sigma^2) + O((c*sigma)^-2)."""
+    w, s2, a = 1e-3, 4.0, 0.9
+    c = np.sqrt(5.0) / w
+    got = float(igr.int_K_matern52_1d(_j([[a]]), _j(1.0), _j([w]),
+                                      _j([0.0]), _j([[s2]]))[0])
+    approx = (16.0 / (3.0 * c)) * np.exp(-0.5 * a * a / s2) / np.sqrt(2 * np.pi * s2)
+    np.testing.assert_allclose(got, approx, rtol=1e-4)
+
+
+def test_int_K_matern_1d_degenerate_measure():
+    """sigma^2 = 0 is a delta at mu: the integral is the kernel value."""
+    kfn, _ = get_kernel("matern52")
+    got = float(igr.int_K_matern52_1d(_j([[1.3]]), _j(0.7), _j([0.8]),
+                                      _j([0.5]), _j([[0.0]]))[0])
+    want = float(kfn(_j([0.7, 0.8]), _j([[1.3]]), _j([[0.5]]))[0, 0])
+    assert got == want
+
+
+def test_int_K_matern_1d_matches_dense_gh():
+    """Cross-check against the quadrature route the production path used to
+    take (4096-node Gauss-Hermite; the cusp limits GH to ~1e-6 here, which
+    bounds the agreement, not the closed form)."""
+    from scipy.special import roots_hermitenorm
+
+    kfn, _ = get_kernel("matern52")
+    h, w, mu, s2 = 0.9, 0.6, 0.4, 1.7
+    t, gw = roots_hermitenorm(4096)
+    gw = gw / np.sqrt(2 * np.pi)
+    nodes = mu + np.sqrt(s2) * t
+    A = np.linspace(-4, 4, 31)
+    K = np.asarray(kfn(_j([h, w]), _j(A[:, None]), _j(nodes[:, None])))
+    want = K @ gw
+    got = np.asarray(igr.int_K_matern52_1d(_j(A[:, None]), _j(h), _j([w]),
+                                           _j([mu]), _j([[s2]])))
+    np.testing.assert_allclose(got, want, rtol=2e-6)
+
+
+def test_erfcx_continuity_and_values():
+    """erfcx vs mpmath-free references: exact at 0 (=1), matches
+    exp(u^2)*erfc(u) in the direct region, and the asymptotic branch joins
+    the direct one smoothly at the crossover."""
+    from scipy.special import erfcx as scipy_erfcx
+
+    u = np.concatenate([np.linspace(0, 8.9, 90), np.linspace(9.1, 200, 60),
+                        [8.999, 9.0, 9.001, 1e4]])
+    got = np.asarray(igr.erfcx(_j(u)))
+    np.testing.assert_allclose(got, scipy_erfcx(u), rtol=2e-13)

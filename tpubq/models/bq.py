@@ -489,14 +489,25 @@ def _gh_nodes(state: BQState, opts: BQOptions):
 def int_K_measure(state: BQState, opts: BQOptions, theta, x) -> jnp.ndarray:
     """∫ k(x', x_i) p(x') dx' for the configured kernel family.
 
-    Gaussian kernels use the closed form (bq_c.pyx::int_K); other kernels
-    (periodic — reference gp/kernels/periodic.py) fall back to Gauss–Hermite
-    quadrature over the measure (1-D), which is what makes non-Gaussian
-    kernel families first-class in every Z/ESM path.
+    Gaussian kernels use the closed form (bq_c.pyx::int_K), and 1-D
+    half-integer Matérn kernels an erfcx-based closed form
+    (integrals._int_K_matern_1d — an extension; the reference has neither
+    Matérn kernels nor Matérn integrals). Everything else (periodic —
+    reference gp/kernels/periodic.py — rq, and d > 1 Matérn) falls back to
+    Gauss–Hermite quadrature over the measure, which is what makes
+    non-Gaussian kernel families first-class in every Z/ESM path.
     """
     if opts.kernel == "gaussian":
         h, w = _theta_hw(theta)
         return igr.int_K(x, h, w, state.x_mean, state.x_var)
+    if opts.kernel in ("matern52", "matern32") and opts.dim == 1:
+        # 1-D half-integer Matérn has a stable closed form (erfcx-based,
+        # integrals._int_K_matern_1d) — exact, and ~512× fewer kernel
+        # evaluations than the GH cusp floor this path used to take.
+        h, w = _theta_hw(theta)
+        fn = (igr.int_K_matern52_1d if opts.kernel == "matern52"
+              else igr.int_K_matern32_1d)
+        return fn(x, h, w, state.x_mean, state.x_var)
     kfn, _ = get_kernel(opts.kernel)
     if opts.dim > 3:  # tensor-product GH explodes; Halton QMC instead
         nodes, gw = _qmc_nodes(state, opts, opts.n_qmc)

@@ -97,6 +97,135 @@ def int_K(x, h, w, mu, Sigma):
     return _scale(h, w) * jnp.exp(gauss_logpdf(x, mu, _W(w) + Sigma))
 
 
+def erfcx(u):
+    """Scaled complementary error function e^{u²} erfc(u), for u ≥ 0.
+
+    Not in jax.scipy.special. Direct product below u = 9 (e^{81} ≈ 1.5e35 is
+    representable even in f32); 10-term asymptotic series above (relative
+    error ≤ (19)!!/(2u²)^10 ≈ 5e-14 at the crossover, shrinking with u).
+    The unused branch of the `where` is made inf/NaN-free on both sides so
+    gradients pass through cleanly.
+    """
+    u = jnp.asarray(u)
+    # the clamp only protects the UNUSED branch (u ≥ 9 → asym); it must sit
+    # above the crossover's u² = 81 or it corrupts direct values near 9
+    direct = jnp.exp(jnp.minimum(u * u, 81.5)) * jsp.special.erfc(u)
+    us = jnp.maximum(u, 9.0)
+    inv2u2 = 1.0 / (2.0 * us * us)
+    s = jnp.ones_like(us)
+    term = jnp.ones_like(us)
+    for k in range(1, 11):
+        term = term * (-(2 * k - 1)) * inv2u2
+        s = s + term
+    asym = s / (us * math.sqrt(math.pi))
+    return jnp.where(u < 9.0, direct, asym)
+
+
+def _int_K_matern_1d(x, h, w, mu, Sigma, sqrt2nu, poly):
+    """∫ k_ν(x', x_i) N(x' | mu, σ²) dx' for a 1-D half-integer Matérn kernel.
+
+    The kernel is k(a, b) = h² P(c|a−b|) e^{−c|a−b|} with c = √(2ν)/w and P
+    the Matérn polynomial (``poly`` lists P's coefficients in (c·r)^n). The
+    reference has no Matérn support at all (its kernels are gaussian and
+    periodic — gp/kernels/*); tpubq previously integrated these by a
+    512-node Gauss–Hermite floor (the diagonal cusp defeats GH's spectral
+    convergence — see models/bq.py::_gh_nodes). This closed form replaces
+    ~512 kernel evaluations per point with a handful of erfcx/exp calls and
+    is exact.
+
+    Derivation: split at x' = a. On each side e^{∓c(x'−a)} N(x'|μ,σ²) is an
+    exponentially-tilted gaussian — a gaussian with shifted mean μ̃ = μ ∓ cσ²
+    times e^β, β = c²σ²/2 ± c(a−μ) — so each half-integral is a sum of
+    truncated-gaussian moments ∫(±(x'−a))^n φ(x'; μ̃, σ²). Every exponential
+    pairs into either G = e^{−(a−μ)²/(2σ²)} (via e^{β−α²/2} ≡ G with
+    α = (a−μ̃)/σ) or e^β with β provably < 0 on the branch that uses it, so
+    the assembly is overflow-free at any (w, σ) ratio:
+
+        Qs = Φ(−α)e^β = ½ erfcx(α/√2) G            (α ≥ 0)
+                      = e^β − ½ erfcx(−α/√2) G     (α < 0, where β < −c²σ²/2)
+        zs = φ(α)e^β  = G/√(2π)
+        T0 = Qs,  T1 = δ·Qs + σ·zs,  T2 = (σ²+δ²)·Qs + σδ·zs,   δ = −σα
+        ∫ k N = h² Σ_n poly[n] cⁿ (T_n^{upper} + T_n^{lower})
+
+    A measure with σ² ≤ tiny (a delta at μ) short-circuits to k(x_i, μ).
+    """
+    if Sigma.shape[-1] != 1:
+        raise ValueError(
+            "closed-form Matérn measure integrals are 1-D; d > 1 uses the "
+            "tensor-GH rule (models/bq.py::int_K_measure)"
+        )
+    a = x[:, 0]
+    dtype = a.dtype
+    mu0 = jnp.reshape(mu, ())
+    sigma2 = jnp.reshape(Sigma, ())
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    sig2s = jnp.maximum(sigma2, tiny)
+    sigma = jnp.sqrt(sig2s)
+    c = sqrt2nu / w[0]
+    dm = a - mu0
+    G = jnp.exp(-0.5 * dm * dm / sig2s)
+    zs = G / math.sqrt(2.0 * math.pi)
+    csig2 = c * sig2s
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+
+    acc = jnp.zeros_like(a)
+    for s in (1.0, -1.0):
+        alpha = (s * dm + csig2) / sigma
+        delta = -sigma * alpha
+        beta = 0.5 * c * csig2 + s * c * dm
+        Qs_pos = 0.5 * erfcx(jnp.abs(alpha) * inv_sqrt2) * G
+        Qs = jnp.where(
+            alpha >= 0.0, Qs_pos, jnp.exp(jnp.minimum(beta, 0.0)) - Qs_pos
+        )
+        # T1/T2 assembly: the direct forms δ·Qs + σ·zs and
+        # (σ²+δ²)Qs + σδ·zs cancel catastrophically for large positive α
+        # (cσ ≫ 1, i.e. kernel much narrower than the measure): relative
+        # error ~eps·α². Rewrite via the Mills ratio R(α) = Q/z:
+        #   T1 = zs·σ·(1 − αR),      1 − αR  = Σ_{j≥1} (−1)^{j+1}(2j−1)!!/α^{2j}
+        #   T2 = zs·σ²·((1+α²)R − α), … = Σ_{j≥1} (−1)^{j+1}(2j−1)!!·2j/α^{2j+1}
+        # — cancellation-free asymptotic series, used for α ≥ 18 where they
+        # beat the direct form's eps·α² (crossover measured against mpmath);
+        # α < 18 (including all α < 0, where both direct terms are positive)
+        # keeps the direct assembly.
+        T1_dir = delta * Qs + sigma * zs
+        T2_dir = (sig2s + delta * delta) * Qs + sigma * delta * zs
+        aa = jnp.maximum(alpha, 18.0)
+        inv_a2 = 1.0 / (aa * aa)
+        s1 = jnp.zeros_like(aa)
+        s2_ = jnp.zeros_like(aa)
+        term = jnp.ones_like(aa)
+        for j in range(1, 13):
+            term = term * (2 * j - 1) * inv_a2 * (-1.0 if j > 1 else 1.0)
+            s1 = s1 + term
+            s2_ = s2_ + term * (2 * j) / aa
+        big = alpha >= 18.0
+        T1 = jnp.where(big, zs * sigma * s1, T1_dir)
+        T2 = jnp.where(big, zs * sig2s * s2_, T2_dir)
+        T = (Qs, T1, T2)
+        for n, p in enumerate(poly):
+            acc = acc + p * (c ** n) * T[n]
+
+    closed = (h * h) * acc
+    # degenerate measure (σ² = 0): Z integrates against a delta at mu
+    r = jnp.abs(dm)
+    pt = jnp.zeros_like(a)
+    for n, p in enumerate(poly):
+        pt = pt + p * (c * r) ** n
+    point = (h * h) * pt * jnp.exp(-c * r)
+    return jnp.where(sigma2 <= tiny, point, closed)
+
+
+def int_K_matern52_1d(x, h, w, mu, Sigma):
+    """∫ k_{5/2}(x', x_i) N(x' | mu, σ²) dx' → (n,). See _int_K_matern_1d."""
+    return _int_K_matern_1d(x, h, w, mu, Sigma, math.sqrt(5.0),
+                            (1.0, 1.0, 1.0 / 3.0))
+
+
+def int_K_matern32_1d(x, h, w, mu, Sigma):
+    """∫ k_{3/2}(x', x_i) N(x' | mu, σ²) dx' → (n,). See _int_K_matern_1d."""
+    return _int_K_matern_1d(x, h, w, mu, Sigma, math.sqrt(3.0), (1.0, 1.0))
+
+
 def int_int_K(d, h, w, mu, Sigma):
     """∫∫ k(x, x') N(x|mu,Sigma) N(x'|mu,Sigma) dx dx'  →  scalar.
 
