@@ -405,3 +405,23 @@ def test_erfcx_continuity_and_values():
                         [8.999, 9.0, 9.001, 1e4]])
     got = np.asarray(igr.erfcx(_j(u)))
     np.testing.assert_allclose(got, scipy_erfcx(u), rtol=2e-13)
+
+
+def test_int_K_matern_1d_gradient():
+    """refine_next differentiates ESM through the measure integral; the
+    closed form's where-branches (erfcx crossover, Mills series, degenerate
+    guard) must all be gradient-clean. Pinned vs central differences,
+    including the symmetric point (grad 0) and the deep tail."""
+    import jax
+
+    def f(a):
+        return igr.int_K_matern52_1d(
+            a.reshape(1, 1), jnp.float64(0.7), _j([0.8]), _j([0.5]),
+            _j([[1.3]]))[0]
+
+    g = jax.grad(f)
+    for a0 in (-2.0, 0.5001, 3.0, 25.0):
+        a = jnp.float64(a0)
+        fd = (f(a + 1e-6) - f(a - 1e-6)) / 2e-6
+        np.testing.assert_allclose(float(g(a)), float(fd), rtol=1e-5)
+    assert float(g(jnp.float64(0.5))) == 0.0  # symmetry at a = mu
