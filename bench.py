@@ -36,14 +36,9 @@ import numpy as np
 
 def _enable_compile_cache():
     """Remote TPU compiles are slow and variable; persist them across runs."""
-    import jax
+    from tpubq.utils.profiling import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tpubq_xla_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 N_GRID = 10_000
 N_OBS = 10

@@ -39,14 +39,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def _enable_compile_cache():
-    import jax
+    from tpubq.utils.profiling import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tpubq_xla_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def _affine_terms_variant(state, opts, x_a, mode):
@@ -125,10 +120,16 @@ def main():
     p.add_argument("--grid", type=int, default=10_000)
     p.add_argument("--max-obs", type=int, default=16)
     p.add_argument("--reps", type=int, default=7)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="cpu skips the axon tunnel (which can hang init "
+                        "when wedged); default uses the ambient platform")
     args = p.parse_args()
 
-    _enable_compile_cache()
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
     import jax.numpy as jnp
     from scipy import stats
 

@@ -53,14 +53,11 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tpubq_xla_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    from tpubq.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
 
     from tpubq.ops import linalg
 

@@ -768,7 +768,8 @@ def test_plotting_2d_smoke():
     bq.init()
     fig, axes = bq.plot()
     assert len(axes) == 3
-    fig2, _ = bq.plot_2d(n=24)
+    f2d = lambda P: stats.multivariate_normal.pdf(P, np.zeros(2), np.eye(2) * 0.4)
+    fig2, _ = bq.plot_2d(n=24, f_l=f2d, xmin=-3.0, xmax=3.0)  # truth contours + bounds
     import matplotlib.pyplot as plt
 
     plt.close("all")

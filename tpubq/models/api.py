@@ -509,13 +509,13 @@ class BQ:
         # d=2 routes to the heatmap triptych (extension — the reference's
         # plot_* set is 1-D-only); d=1 keeps the reference's curve panels
         if self.options.dim == 2:
-            return plotting.plot_2d(self, f_l=f_l)
+            return plotting.plot_2d(self, f_l=f_l, xmin=xmin, xmax=xmax)
         return plotting.plot(self, f_l=f_l, xmin=xmin, xmax=xmax)
 
-    def plot_2d(self, f_l=None, n=80):
+    def plot_2d(self, f_l=None, n=80, xmin=None, xmax=None):
         from tpubq.utils import plotting
 
-        return plotting.plot_2d(self, f_l=f_l, n=n)
+        return plotting.plot_2d(self, f_l=f_l, n=n, xmin=xmin, xmax=xmax)
 
     def plot_expected_squared_mean(self, ax=None, xmin=None, xmax=None):
         from tpubq.utils import plotting

@@ -32,6 +32,9 @@ from jax import scipy as jsp
 
 __all__ = [
     "int_K",
+    "int_K_matern52_1d",
+    "int_K_matern32_1d",
+    "erfcx",
     "int_int_K",
     "int_K1_K2",
     "int_int_K1_K2",
@@ -154,6 +157,7 @@ def _int_K_matern_1d(x, h, w, mu, Sigma, sqrt2nu, poly):
             "closed-form Matérn measure integrals are 1-D; d > 1 uses the "
             "tensor-GH rule (models/bq.py::int_K_measure)"
         )
+    _check_w(Sigma, w)
     a = x[:, 0]
     dtype = a.dtype
     mu0 = jnp.reshape(mu, ())
@@ -183,13 +187,17 @@ def _int_K_matern_1d(x, h, w, mu, Sigma, sqrt2nu, poly):
         # error ~eps·α². Rewrite via the Mills ratio R(α) = Q/z:
         #   T1 = zs·σ·(1 − αR),      1 − αR  = Σ_{j≥1} (−1)^{j+1}(2j−1)!!/α^{2j}
         #   T2 = zs·σ²·((1+α²)R − α), … = Σ_{j≥1} (−1)^{j+1}(2j−1)!!·2j/α^{2j+1}
-        # — cancellation-free asymptotic series, used for α ≥ 18 where they
-        # beat the direct form's eps·α² (crossover measured against mpmath);
-        # α < 18 (including all α < 0, where both direct terms are positive)
-        # keeps the direct assembly.
+        # — cancellation-free asymptotic series, used above a dtype-aware
+        # crossover where they beat the direct form's eps·α² (f64: α = 18,
+        # measured against mpmath; f32: α = 6, where eps_f32·α² ≈ 4e-6
+        # meets the 12-term truncation error ~8e-7 — with the f64 crossover
+        # the f32 direct assembly reached ~1e-5..1e-3 in the α 7–18 band).
+        # Below the crossover (including all α < 0, where both direct terms
+        # are positive) the direct assembly is the more accurate one.
         T1_dir = delta * Qs + sigma * zs
         T2_dir = (sig2s + delta * delta) * Qs + sigma * delta * zs
-        aa = jnp.maximum(alpha, 18.0)
+        xover = 18.0 if dtype == jnp.float64 else 6.0
+        aa = jnp.maximum(alpha, xover)
         inv_a2 = 1.0 / (aa * aa)
         s1 = jnp.zeros_like(aa)
         s2_ = jnp.zeros_like(aa)
@@ -198,7 +206,7 @@ def _int_K_matern_1d(x, h, w, mu, Sigma, sqrt2nu, poly):
             term = term * (2 * j - 1) * inv_a2 * (-1.0 if j > 1 else 1.0)
             s1 = s1 + term
             s2_ = s2_ + term * (2 * j) / aa
-        big = alpha >= 18.0
+        big = alpha >= xover
         T1 = jnp.where(big, zs * sigma * s1, T1_dir)
         T2 = jnp.where(big, zs * sig2s * s2_, T2_dir)
         T = (Qs, T1, T2)

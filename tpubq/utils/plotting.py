@@ -140,11 +140,14 @@ def plot_expected_squared_mean(bq, x_a, scores, ax=None):
 # --- but this framework is general-d, so d=2 gets the same observability)
 
 
-def _grid2(bq, n):
-    """(xx, yy, X) — an n×n box padded 10% around the observations."""
+def _grid2(bq, n, xmin=None, xmax=None):
+    """(xx, yy, X) — an n×n box padded 10% around the observations, or
+    [xmin, xmax]² when explicit bounds are given (both axes, matching the
+    1-D signature's scalar bounds)."""
     xs = np.asarray(bq.x_s)
-    lo, hi = xs.min(axis=0), xs.max(axis=0)
-    pad = 0.1 * (hi - lo)
+    lo = xs.min(axis=0) if xmin is None else np.array([xmin, xmin], float)
+    hi = xs.max(axis=0) if xmax is None else np.array([xmax, xmax], float)
+    pad = 0.1 * (hi - lo) if (xmin is None and xmax is None) else np.zeros(2)
     ax0 = np.linspace(lo[0] - pad[0], hi[0] + pad[0], n)
     ax1 = np.linspace(lo[1] - pad[1], hi[1] + pad[1], n)
     xx, yy = np.meshgrid(ax0, ax1)
@@ -158,15 +161,15 @@ def _overlay2(bq, ax):
         ax.plot(xc[:, 0], xc[:, 1], "ws", mfc="none", ms=4)
 
 
-def plot_2d(bq, f_l=None, n=80):
+def plot_2d(bq, f_l=None, n=80, xmin=None, xmax=None):
     """1×3 combined diagnostic for d=2 problems: posterior mean of the
     log-GP, linearized mean of the linear GP, and the ESM acquisition
     surface, each with observations (dots) and candidates (open squares)
     overlaid. The d=2 counterpart of ``plot``; returns ``(fig, axes)``.
 
-    ``f_l`` is accepted for signature symmetry with the 1-D set but only
-    used to title-check: the truth surface is not drawn (a contour overlay
-    of a user likelihood on 3 panels reads poorly at this size).
+    ``f_l`` (a callable of (m, 2) points, like the 1-D set's) overlays the
+    true likelihood as contour lines on the $m_\\ell$ panel. ``xmin``/
+    ``xmax`` bound both axes (the 1-D signature's scalar bounds).
     """
     import jax.numpy as jnp
     import matplotlib.pyplot as plt
@@ -177,7 +180,7 @@ def plot_2d(bq, f_l=None, n=80):
     if bq.options.dim != 2:
         raise ValueError("plot_2d requires a d=2 problem; use plot for d=1")
     kfn, _ = get_kernel(bq.options.kernel)
-    xx, yy, X = _grid2(bq, n)
+    xx, yy, X = _grid2(bq, n, xmin, xmax)
     Xj = jnp.asarray(X, bq.options.np_dtype)
 
     m_tl = np.asarray(gpm.gp_mean(kfn, bq.state.gp_log_l, Xj)).reshape(n, n)
@@ -194,5 +197,9 @@ def plot_2d(bq, f_l=None, n=80):
         fig.colorbar(pc, ax=ax, shrink=0.85)
         _overlay2(bq, ax)
         ax.set_title(title)
+    if f_l is not None:
+        truth = np.asarray(f_l(X)).reshape(n, n)
+        axes[1].contour(xx, yy, truth, levels=6, colors="k",
+                        linewidths=0.6, alpha=0.6)
     fig.tight_layout()
     return fig, axes

@@ -15,7 +15,25 @@ from typing import Callable
 
 import jax
 
-__all__ = ["trace", "annotate", "time_fn"]
+__all__ = ["trace", "annotate", "time_fn", "enable_compile_cache"]
+
+
+def enable_compile_cache(path: str = "/tmp/tpubq_xla_cache"):
+    """Persist XLA compiles across processes (remote-TPU compiles are slow).
+
+    The single shared implementation for bench.py and every benchmarks/
+    script. Known hazard (memory + verify notes): a run killed mid-write
+    leaves a truncated cache entry and the NEXT process segfaults in
+    jax's compilation-cache read — ``rm -rf <path>`` is the cure; changing
+    the path or adding corruption handling belongs HERE, not in per-script
+    copies.
+    """
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
 
 @contextlib.contextmanager
