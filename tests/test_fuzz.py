@@ -19,9 +19,12 @@ import pytest
 from tpubq.models import acquire, bq as bqm
 from tpubq.utils.options import BQOptions
 
-# gaussian exercises the closed forms, matern52 the quadrature route; the
-# d > 2 paths (QMC etc.) are pinned by dedicated tests elsewhere.
-CONFIGS = [(1, "gaussian"), (2, "gaussian"), (1, "matern52"), (2, "matern52")]
+# gaussian exercises the gaussian closed forms, 1-D matern the erfcx
+# closed form (integrals._int_K_matern_1d) + quadrature V[Z], 2-D matern
+# the pure-quadrature route; the d > 2 paths (QMC etc.) are pinned by
+# dedicated tests elsewhere.
+CONFIGS = [(1, "gaussian"), (2, "gaussian"), (1, "matern52"), (2, "matern52"),
+           (1, "matern32")]
 SEEDS = [0, 1, 2]
 
 
