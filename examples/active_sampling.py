@@ -31,6 +31,14 @@ def main():
         "toolchains cannot compile f64), float64 elsewhere",
     )
     ap.add_argument("--n-hyper", type=int, default=10)
+    ap.add_argument(
+        "--kernel", default="gaussian",
+        choices=["gaussian", "matern52", "matern32"],
+        help="GP kernel family. gaussian and the 1-D Matérns all run on "
+        "closed-form measure integrals (Matérn via the erfcx form in "
+        "tpubq.ops.integrals — an extension; the reference is "
+        "gaussian/periodic only)",
+    )
     args = ap.parse_args()
     if args.dtype is None:
         import jax
@@ -41,7 +49,7 @@ def main():
     x = np.linspace(-2.2, 2.2, 6)
     bq = tpubq.BQ(
         x, f_l(x), n_candidate=10, candidate_thresh=0.2, x_mean=0.0, x_var=1.0,
-        dtype=args.dtype,
+        dtype=args.dtype, kernel=args.kernel,
     )
     bq.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4)).fit(seed=0)
     print(f"true Z = {z_true:.6f}")
