@@ -427,3 +427,49 @@ def test_int_K_matern_1d_gradient():
         fd = (f(a + 1e-6) - f(a - 1e-6)) / 2e-6
         np.testing.assert_allclose(float(g(a)), float(fd), rtol=1e-5)
     assert float(g(jnp.float64(0.5))) == 0.0  # symmetry at a = mu
+
+
+def test_int_K_matern_mixture_vs_1d_exact():
+    """The general-d Gamma scale-mixture route cross-checked against the
+    independent 1-D erfcx closed form. The mixture rule's error is
+    ~3e-11 ABSOLUTE on the correlation (gaussians cannot track the e^{-cr}
+    tail to relative precision), so deep-tail points are atol-bounded."""
+    rng = np.random.RandomState(2)
+    for _ in range(10):
+        h, w = rng.uniform(0.2, 2), rng.uniform(0.1, 3)
+        mu, s2 = rng.uniform(-2, 2), rng.uniform(0.01, 4)
+        A = _j(rng.uniform(-5, 5, (7, 1)))
+        for nu, exact in ((2.5, igr.int_K_matern52_1d),
+                          (1.5, igr.int_K_matern32_1d)):
+            ex = np.asarray(exact(A, _j(h), _j([w]), _j([mu]), _j([[s2]])))
+            mx = np.asarray(igr.int_K_matern_mixture(
+                A, _j(h), _j([w]), _j([mu]), _j([[s2]]), nu))
+            np.testing.assert_allclose(mx, ex, rtol=2e-5, atol=h * h * 1e-9)
+
+
+def test_int_K_matern_mixture_2d_correlated_vs_dense_gh():
+    """2-D, anisotropic w, CORRELATED Sigma, vs a 200-node/axis tensor-GH
+    reference. The bound is the GH reference's own cusp error (polynomial
+    convergence: ~1e-5 for nu=5/2, ~1e-4 for the rougher nu=3/2 at
+    200/axis) — the mixture side is exact to ~1e-10."""
+    from scipy.special import roots_hermitenorm
+
+    from tpubq.ops.kernels import matern32_K, matern52_K
+
+    rng = np.random.RandomState(4)
+    h, w = 0.9, np.array([0.5, 1.1])
+    mu = np.array([0.3, -0.2])
+    Sig = np.array([[1.2, 0.5], [0.5, 0.8]])
+    t, gw = roots_hermitenorm(200)
+    gw = gw / np.sqrt(2 * np.pi)
+    L = np.linalg.cholesky(Sig)
+    g1, g2 = np.meshgrid(t, t, indexing="ij")
+    nodes = mu[None, :] + np.stack([g1.ravel(), g2.ravel()], 1) @ L.T
+    wts = (gw[:, None] * gw[None, :]).ravel()
+    A = rng.uniform(-3, 3, (9, 2))
+    for nu, kfn, rtol in ((2.5, matern52_K, 5e-5), (1.5, matern32_K, 5e-4)):
+        K = np.asarray(kfn(_j(np.r_[h, w]), _j(A), _j(nodes)))
+        want = K @ wts
+        got = np.asarray(igr.int_K_matern_mixture(
+            _j(A), _j(h), _j(w), _j(mu), _j(Sig), nu))
+        np.testing.assert_allclose(got, want, rtol=rtol)

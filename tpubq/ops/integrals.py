@@ -34,6 +34,7 @@ __all__ = [
     "int_K",
     "int_K_matern52_1d",
     "int_K_matern32_1d",
+    "int_K_matern_mixture",
     "erfcx",
     "int_int_K",
     "int_K1_K2",
@@ -232,6 +233,56 @@ def int_K_matern52_1d(x, h, w, mu, Sigma):
 def int_K_matern32_1d(x, h, w, mu, Sigma):
     """∫ k_{3/2}(x', x_i) N(x' | mu, σ²) dx' → (n,). See _int_K_matern_1d."""
     return _int_K_matern_1d(x, h, w, mu, Sigma, math.sqrt(3.0), (1.0, 1.0))
+
+
+def _matern_mix_rule(nu):
+    """Log-trapezoid discretization of the Matérn Gamma scale mixture.
+
+    The Bessel-K integral representation gives, for any dimension,
+
+        k_ν(r) = h²/Γ(ν) ∫₀^∞ t^{ν−1} e^{−t} exp(−ν r²/(2t)) dt,
+
+    i.e. the Matérn correlation is a Gamma(ν) mixture of GAUSSIAN kernels
+    with per-node widths w·√(t/ν) (its spectral density is a Student-t — a
+    Gamma mixture of gaussian spectra). A trapezoid rule in u = log t
+    converges geometrically (both tails decay doubly-exponentially in u);
+    ranges/node counts were tuned so the worst ABSOLUTE correlation error
+    over r ∈ [0, 12] is ≤ 3e-11 (ν=5/2: [−12, 5.5]×48) / ≤ 5e-10
+    (ν=3/2: [−14, 5.5]×64 — the lighter t^{ν−1} weight needs the wider
+    left tail). Returns trace-time numpy constants (t_q, ω_q), Σω_q = 1.
+    """
+    import numpy as np
+    from scipy.special import gamma as _gamma
+
+    lo, hi, n = (-12.0, 5.5, 48) if nu == 2.5 else (-14.0, 5.5, 64)
+    u = np.linspace(lo, hi, n)
+    t = np.exp(u)
+    wq = t**nu * np.exp(-t) * (u[1] - u[0]) / _gamma(nu)
+    return t, wq
+
+
+def int_K_matern_mixture(x, h, w, mu, Sigma, nu):
+    """∫ k_ν(x', x_i) N(x' | mu, Sigma) dx' for half-integer Matérn, ANY d.
+
+    Each Gamma-mixture node is a gaussian kernel, so each node's measure
+    integral is the exact gaussian closed form `int_K` — the cusp that
+    defeats tensor-GH (polynomial convergence, 48 nodes/axis for ~1.5e-3
+    in 2-D) lives entirely in the smooth 1-D mixture integral, which the
+    log-trapezoid rule resolves to ~1e-10 with ≤64 nodes. Cost: n_mix
+    gaussian closed forms (~50 exps/point vs 2304 kernel evals for the
+    2-D tensor rule). Supports full (correlated) Sigma and anisotropic w
+    exactly like `int_K`. 1-D callers should prefer the erfcx closed form
+    (`int_K_matern52_1d` — exact and cheaper); this is the d ≥ 2 path.
+    """
+    import jax
+
+    _check_w(Sigma, w)
+    t, wq = _matern_mix_rule(nu)
+    dtype = x.dtype
+    scale = jnp.asarray(jnp.sqrt(jnp.asarray(t / nu, dtype)))  # (n_mix,)
+    ws = scale[:, None] * w[None, :]  # (n_mix, d) per-node gaussian widths
+    vals = jax.vmap(lambda wl: int_K(x, h, wl, mu, Sigma))(ws)
+    return jnp.asarray(wq, dtype) @ vals
 
 
 def int_int_K(d, h, w, mu, Sigma):
