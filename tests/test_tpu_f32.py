@@ -342,3 +342,31 @@ def test_fleet_hyper_surface_f32():
     zms, zvs = fleet.marginalize(n=10, seed=2)
     assert zms.shape == (3, 10) and np.all(np.isfinite(zms))
     assert np.all(zvs >= 0)
+
+
+def test_matern_2d_mixture_f32():
+    """The d >= 2 Matern Gamma-mixture measure integrals
+    (integrals.int_K_matern_mixture) compiled and run in f32 on device:
+    end-to-end 2-D matern52 estimate + one active step. The 2-D gaussian
+    truth is N(0; 0, (1+0.4)I) per axis; the matern GP with data-scaled
+    hypers should land within a loose band."""
+    from scipy import stats
+
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-2, 2, (12, 2)).astype(np.float32)
+    L = stats.multivariate_normal.pdf(X, np.zeros(2), np.eye(2) * 0.4)
+    bq = tpubq.BQ(X, L, dim=2, kernel="matern52", n_candidate=8,
+                  candidate_thresh=0.25, x_mean=np.zeros(2), x_var=np.eye(2),
+                  max_obs=24, dtype="float32")
+    bq.init(params_tl=(0.7, 0.8, 0.8), params_l=(0.3, 0.4, 0.4))
+    z_true = stats.multivariate_normal.pdf(np.zeros(2), np.zeros(2),
+                                           np.eye(2) * 1.4)
+    zm = float(bq.Z_mean())
+    assert abs(zm - z_true) / z_true < 0.5, (zm, z_true)
+    assert float(bq.Z_var()) >= 0.0
+    g = np.linspace(-2.5, 2.5, 17, dtype=np.float32)
+    grid = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+    xn = bq.choose_next(grid)
+    bq.add_observation(xn, float(stats.multivariate_normal.pdf(
+        np.asarray(xn).reshape(2), np.zeros(2), np.eye(2) * 0.4)))
+    assert np.isfinite(float(bq.Z_mean()))
