@@ -566,3 +566,34 @@ def test_fleet_fit_noise_and_seed_roundtrip(tmp_path):
     p0 = tmp_path / "fleet_preseed.npz"
     save_state(p0, fleet.states, fleet.options)
     assert batched.BQFleet.load(p0)._seed == 0
+
+
+def test_fleet_2d_matern_mixture():
+    """The d >= 2 Matern Gamma-mixture integrals under the fleet vmap
+    (per-problem states, shared static mixture nodes): Z moments and
+    selection stay finite and consistent with the single-problem path."""
+    import numpy as np
+    from scipy import stats
+
+    import tpubq
+
+    rng = np.random.RandomState(5)
+    B = 3
+    xs = rng.uniform(-2, 2, (B, 10, 2))
+    ls = np.stack([
+        stats.multivariate_normal.pdf(xs[b], np.zeros(2), np.eye(2) * 0.4)
+        for b in range(B)
+    ])
+    fleet = tpubq.BQFleet(xs, ls, dim=2, kernel="matern52", n_candidate=6,
+                          candidate_thresh=0.3, params_tl=(0.7, 0.8, 0.8),
+                          params_l=(0.3, 0.4, 0.4), x_mean=np.zeros(2),
+                          x_var=np.eye(2), max_obs=16)
+    zm, zv = np.asarray(fleet.Z_mean()), np.asarray(fleet.Z_var())
+    assert np.all(np.isfinite(zm)) and np.all(zv >= 0.0)
+    # fleet rows must equal the standalone single-problem estimates
+    for b in range(B):
+        bq = tpubq.BQ(xs[b], ls[b], dim=2, kernel="matern52", n_candidate=6,
+                      candidate_thresh=0.3, x_mean=np.zeros(2),
+                      x_var=np.eye(2), max_obs=16)
+        bq.init(params_tl=(0.7, 0.8, 0.8), params_l=(0.3, 0.4, 0.4))
+        np.testing.assert_allclose(zm[b], float(bq.Z_mean()), rtol=1e-10)
