@@ -489,13 +489,16 @@ def _gh_nodes(state: BQState, opts: BQOptions):
 def int_K_measure(state: BQState, opts: BQOptions, theta, x) -> jnp.ndarray:
     """∫ k(x', x_i) p(x') dx' for the configured kernel family.
 
-    Gaussian kernels use the closed form (bq_c.pyx::int_K), and 1-D
-    half-integer Matérn kernels an erfcx-based closed form
-    (integrals._int_K_matern_1d — an extension; the reference has neither
-    Matérn kernels nor Matérn integrals). Everything else (periodic —
-    reference gp/kernels/periodic.py — rq, and d > 1 Matérn) falls back to
-    Gauss–Hermite quadrature over the measure, which is what makes
-    non-Gaussian kernel families first-class in every Z/ESM path.
+    Gaussian kernels use the closed form (bq_c.pyx::int_K). Matérn kernels
+    (an extension; the reference has neither Matérn kernels nor Matérn
+    integrals) use an erfcx-based exact closed form in 1-D
+    (integrals._int_K_matern_1d) and the Gamma scale-mixture of gaussian
+    closed forms for d ≥ 2 (integrals.int_K_matern_mixture, ~1e-12
+    mixture error). Everything else (periodic — reference
+    gp/kernels/periodic.py — and rq, both C^∞ so GH converges spectrally)
+    falls back to Gauss–Hermite quadrature over the measure (Halton QMC
+    for d > 3), which is what makes non-Gaussian kernel families
+    first-class in every Z/ESM path.
     """
     if opts.kernel == "gaussian":
         h, w = _theta_hw(theta)
@@ -510,9 +513,9 @@ def int_K_measure(state: BQState, opts: BQOptions, theta, x) -> jnp.ndarray:
                   else igr.int_K_matern32_1d)
             return fn(x, h, w, state.x_mean, state.x_var)
         # d ≥ 2 (any d — no tensor explosion): Gamma scale-mixture of
-        # gaussian closed forms (integrals.int_K_matern_mixture) — ~1e-10
+        # gaussian closed forms (integrals.int_K_matern_mixture) — ~1e-12
         # mixture error vs ~1.5e-3 for the 48/axis tensor-GH cusp floor,
-        # at ~50 gaussian evals per point instead of 48^d kernel evals.
+        # at ~64-80 gaussian evals per point instead of 48^d kernel evals.
         nu = 2.5 if opts.kernel == "matern52" else 1.5
         return igr.int_K_matern_mixture(x, h, w, state.x_mean, state.x_var, nu)
     kfn, _ = get_kernel(opts.kernel)

@@ -155,8 +155,9 @@ def _int_K_matern_1d(x, h, w, mu, Sigma, sqrt2nu, poly):
     """
     if Sigma.shape[-1] != 1:
         raise ValueError(
-            "closed-form Matérn measure integrals are 1-D; d > 1 uses the "
-            "tensor-GH rule (models/bq.py::int_K_measure)"
+            "the erfcx-form Matérn measure integrals are 1-D; d > 1 uses "
+            "the Gamma scale-mixture route (int_K_matern_mixture, wired in "
+            "models/bq.py::int_K_measure)"
         )
     _check_w(Sigma, w)
     a = x[:, 0]
@@ -247,14 +248,25 @@ def _matern_mix_rule(nu):
     Gamma mixture of gaussian spectra). A trapezoid rule in u = log t
     converges geometrically (both tails decay doubly-exponentially in u);
     ranges/node counts were tuned so the worst ABSOLUTE correlation error
-    over r ∈ [0, 12] is ≤ 3e-11 (ν=5/2: [−12, 5.5]×48) / ≤ 5e-10
-    (ν=3/2: [−14, 5.5]×64 — the lighter t^{ν−1} weight needs the wider
-    left tail). Returns trace-time numpy constants (t_q, ω_q), Σω_q = 1.
+    over r ∈ [0, 12] is ≤ 7e-13 (ν=5/2: [−12, 5.5]×64) / ≤ 2e-12
+    (ν=3/2: [−18, 5.5]×80 — the lighter t^{ν−1} weight needs the wider
+    left tail: the mass below e^{lo} is ~(2/3)e^{1.5·lo}/Γ(3/2), the rule's
+    floor). Only the registry's two orders are tuned; other ν raise rather
+    than silently degrade. Returns trace-time numpy constants (t_q, ω_q),
+    Σω_q = 1.
     """
     import numpy as np
     from scipy.special import gamma as _gamma
 
-    lo, hi, n = (-12.0, 5.5, 48) if nu == 2.5 else (-14.0, 5.5, 64)
+    if nu == 2.5:
+        lo, hi, n = -12.0, 5.5, 64
+    elif nu == 1.5:
+        lo, hi, n = -18.0, 5.5, 80
+    else:
+        raise ValueError(
+            f"int_K_matern_mixture: no tuned mixture rule for nu={nu}; "
+            "supported orders are 1.5 and 2.5 (the kernel registry's)"
+        )
     u = np.linspace(lo, hi, n)
     t = np.exp(u)
     wq = t**nu * np.exp(-t) * (u[1] - u[0]) / _gamma(nu)
@@ -268,10 +280,11 @@ def int_K_matern_mixture(x, h, w, mu, Sigma, nu):
     integral is the exact gaussian closed form `int_K` — the cusp that
     defeats tensor-GH (polynomial convergence, 48 nodes/axis for ~1.5e-3
     in 2-D) lives entirely in the smooth 1-D mixture integral, which the
-    log-trapezoid rule resolves to ~1e-10 with ≤64 nodes. Cost: n_mix
-    gaussian closed forms (~50 exps/point vs 2304 kernel evals for the
-    2-D tensor rule). Supports full (correlated) Sigma and anisotropic w
-    exactly like `int_K`. 1-D callers should prefer the erfcx closed form
+    log-trapezoid rule resolves to ~1e-12 absolute (on the correlation;
+    see `_matern_mix_rule`) with ≤80 nodes. Cost: n_mix gaussian closed
+    forms (~64-80 exps/point vs 2304 kernel evals for the 2-D tensor
+    rule). Supports full (correlated) Sigma and anisotropic w exactly
+    like `int_K`. 1-D callers should prefer the erfcx closed form
     (`int_K_matern52_1d` — exact and cheaper); this is the d ≥ 2 path.
     """
     import jax
