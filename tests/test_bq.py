@@ -194,7 +194,7 @@ def test_marginalize_matches_sequential():
     from tpubq.models import marginalize as margm
 
     bq = tu.make_bq()
-    thetas = bq.sample_hypers(4, seed=7)
+    thetas = bq.sample_hypers(n=4, seed=7)
     import jax.numpy as jnp
 
     zm_b, zv_b = margm.marginalize(bq.state, bq.options, jnp.asarray(thetas))
@@ -438,7 +438,7 @@ def test_scan_active_loop_marginalized():
     import jax.numpy as jnp
 
     bq = tu.make_bq()
-    hyp = jnp.asarray(bq.sample_hypers(4, seed=21))
+    hyp = jnp.asarray(bq.sample_hypers(n=4, seed=21))
 
     def loglik(x):
         s2 = tu.SIG_L**2
@@ -677,7 +677,7 @@ def test_refine_next_marginalized_runs():
     import jax.numpy as jnp
 
     bq = tu.make_bq()
-    hyp = jnp.asarray(bq.sample_hypers(3, seed=5))
+    hyp = jnp.asarray(bq.sample_hypers(n=3, seed=5))
     x0, _ = acquire.choose_next(bq.state, bq.options, np.linspace(-4, 4, 9), hyp)
     x_ref, v_ref = acquire.refine_next(bq.state, bq.options, x0, hyp)
     assert np.all(np.isfinite(np.asarray(x_ref))) and np.isfinite(float(v_ref))
@@ -956,6 +956,32 @@ def test_measure_and_gamma_validation():
     with pytest.raises(ValueError, match="gamma"):
         batched.init_batch(xs, ls, opts, params_tl=(0.7, 0.8),
                            params_l=(0.3, 0.4), gamma=0.0)
+
+    # ADVICE r3: eigvalsh reads one triangle, so an ASYMMETRIC x_var used
+    # to pass PSD validation while the closed forms consumed the full
+    # matrix — now rejected explicitly.
+    with pytest.raises(ValueError, match="symmetric"):
+        _bqm.validate_measure(np.array([[1.0, 0.5], [0.3, 1.0]]))
+
+
+def test_unsupported_config_raises_not_asserts():
+    """VERDICT r3 #6: entry-point precondition checks must survive
+    ``python -O`` — ValueError, never bare assert."""
+    import pytest
+
+    from tpubq.models import acquire as acq
+
+    bq = tu.make_bq()
+    import dataclasses
+
+    bad = dataclasses.replace(bq.options, kernel="matern52")
+    with pytest.raises(ValueError, match="gaussian"):
+        acq.expected_squared_mean_fused(bq.state, bad, np.array([0.3]))
+
+    from tpubq.models import batched
+
+    with pytest.raises(ValueError, match="packed fleet scorer"):
+        batched.expected_squared_mean_fleet(bq.state, bad, np.array([0.3]))
 
 
 def test_large_n_gh_stays_finite():

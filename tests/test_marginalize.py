@@ -132,15 +132,13 @@ def test_multi_chain_respects_param_subsets():
     assert np.std(th[:, 0]) > 0
 
 
-def test_sample_hypers_legacy_positional_shift():
-    """r1-signature calls shift the WHOLE positional prefix:
-    sample_hypers(12, 5, 42) == sample_hypers(n=12, nburn=5, seed=42)."""
+def test_sample_hypers_legacy_positional_rejected():
+    """The tpubq r1 signature sample_hypers(n, nburn, seed) was retired in
+    round 4 (VERDICT r3 weak #7): a bare int first argument now raises
+    instead of silently shifting the positional prefix."""
     bq = tu.make_bq()
-    legacy = bq.sample_hypers(12, 5, 42)
-    modern = bq.sample_hypers(params=None, n=12, nburn=5, seed=42)
-    np.testing.assert_array_equal(legacy, modern)
-    with pytest.raises(TypeError):
-        bq.sample_hypers(12, 5, 42, seed=7)  # ambiguous mix
+    with pytest.raises(TypeError, match="params first"):
+        bq.sample_hypers(12, 5, 42)
 
 
 def test_periodic_explicit_params_freeze_period():

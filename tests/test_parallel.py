@@ -50,7 +50,7 @@ def test_choose_next_sharded_matches_single(mesh8):
 def test_choose_next_sharded_marginalized_matches_single(mesh8):
     bq = tu.make_bq()
     grid = np.linspace(-3, 3, 24)[:, None]
-    hyp = jnp.asarray(bq.sample_hypers(5, seed=11))  # 5 not divisible by 2
+    hyp = jnp.asarray(bq.sample_hypers(n=5, seed=11))  # 5 not divisible by 2
     x1, s1 = acquire.choose_next(bq.state, bq.options, jnp.asarray(grid), hyp)
     x8, s8 = choose_next_sharded(bq.state, bq.options, jnp.asarray(grid), mesh8, hyp)
     np.testing.assert_allclose(np.asarray(s8), np.asarray(s1), rtol=1e-8)
@@ -59,7 +59,7 @@ def test_choose_next_sharded_marginalized_matches_single(mesh8):
 
 def test_marginalize_sharded_matches_single(mesh8):
     bq = tu.make_bq()
-    hyp = jnp.asarray(bq.sample_hypers(10, seed=13))  # 10 not divisible by 8
+    hyp = jnp.asarray(bq.sample_hypers(n=10, seed=13))  # 10 not divisible by 8
     zm1, zv1 = margm.marginalize(bq.state, bq.options, hyp)
     zm8, zv8 = marginalize_sharded(bq.state, bq.options, hyp, mesh8)
     np.testing.assert_allclose(np.asarray(zm8), np.asarray(zm1), rtol=1e-10)

@@ -150,7 +150,7 @@ def test_sharded_on_local_mesh_f32():
     st, opts = bq.state, bq.options
     mesh = make_mesh(len(jax.devices()))
     grid = jnp.asarray(np.linspace(-4, 4, 64)[:, None], jnp.float32)
-    hyp = jnp.asarray(bq.sample_hypers(5, seed=11), jnp.float32)
+    hyp = jnp.asarray(bq.sample_hypers(n=5, seed=11), jnp.float32)
 
     x_s, sc_s = choose_next_sharded(st, opts, grid, mesh, hyp)
     x_u, sc_u = acquire.choose_next(st, opts, grid, hyp)

@@ -300,7 +300,11 @@ def expected_squared_mean_fused(state: BQState, opts: BQOptions, x_a, interpret=
 
     from tpubq.ops import pallas_kernels as pk
 
-    assert opts.dim <= 3 and opts.kernel == "gaussian"
+    if opts.dim > 3 or opts.kernel != "gaussian":
+        raise ValueError(
+            "expected_squared_mean_fused supports gaussian kernels with dim <= 3; "
+            f"got kernel={opts.kernel!r}, dim={opts.dim}"
+        )
     d = opts.dim
     dtype = state.x_s.dtype
     x_a = as_points(jnp.asarray(x_a, dtype), d)  # (na, d)

@@ -303,22 +303,19 @@ class BQ:
         ``params`` names which hypers move ('h', 'w' → θ_tl, the reference
         vocabulary; add '*_l' names to sample the linear GP's jointly — rows
         then come back stacked (θ_tl ∥ θ_l), see
-        tpubq.models.marginalize.sample_hypers). A bare int first argument
-        invokes tpubq r1 signature compatibility — the WHOLE positional
-        prefix shifts: ``sample_hypers(100, 20, 42)`` means
-        (n=100, nburn=20, seed=42). ``n_chains`` > 1 runs that many vmapped
-        chains (parallel-in-one-dispatch; see marginalize.sample_hypers).
+        tpubq.models.marginalize.sample_hypers). ``n_chains`` > 1 runs that
+        many vmapped chains (parallel-in-one-dispatch; see
+        marginalize.sample_hypers).
         """
         if isinstance(params, (int, np.integer)):
-            # r1 signature (n, nburn=10, seed=None): shift every positional,
-            # not just the first (a partial shift silently dropped the
-            # caller's nburn/seed — ADVICE r2 review finding)
-            if seed is not None and nburn is not None:
-                raise TypeError(
-                    "ambiguous call: legacy positional (n, nburn, seed) form "
-                    "cannot be mixed with seed="
-                )
-            params, n, nburn, seed = None, int(params), n, nburn if nburn is not None else seed
+            # The tpubq round-1 signature sample_hypers(n, nburn, seed) was
+            # retired in round 4 (VERDICT r3 weak #7; see MIGRATION.md) —
+            # the reference signature is params-first.
+            raise TypeError(
+                "sample_hypers takes params first (reference signature "
+                "sample_hypers(params, n, nburn)); the legacy positional "
+                "(n, nburn, seed) form was removed — pass n= explicitly"
+            )
         n = 100 if n is None else int(n)
         nburn = 10 if nburn is None else int(nburn)
         if prior_std is None:

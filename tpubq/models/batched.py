@@ -336,11 +336,16 @@ def expected_squared_mean_fleet(
     # not a kernel limit (see its docstring for the measured noise model).
     from tpubq.ops.pallas_kernels import fleet_block_geometry as _geo
 
-    assert (
+    if not (
         opts.dtype == "float32" and opts.kernel == "gaussian"
         and opts.dim <= 3 and _geo(opts.max_nsc) is not None
         and _geo(opts.max_obs) is not None
-    ), "packed fleet scorer needs f32 gaussian d<=3 with <=128 rows/problem"
+    ):
+        raise ValueError(
+            "packed fleet scorer needs f32 gaussian d<=3 with <=128 rows/problem; "
+            f"got dtype={opts.dtype!r}, kernel={opts.kernel!r}, dim={opts.dim}, "
+            f"max_nsc={opts.max_nsc}, max_obs={opts.max_obs}"
+        )
     dtype = states.x_s.dtype
     d = opts.dim
     B = states.ns.shape[0]

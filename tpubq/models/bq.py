@@ -245,6 +245,13 @@ def validate_measure(x_var) -> None:
     import numpy as _np
 
     v = _np.asarray(x_var, _np.float64)
+    if v.ndim >= 2:
+        # eigvalsh reads only one triangle, so an asymmetric matrix would
+        # pass the PSD check while the closed forms consume the full matrix
+        # and silently produce inconsistent results (ADVICE r3).
+        scale = float(_np.max(_np.abs(v))) if v.size else 0.0
+        if not _np.allclose(v, _np.swapaxes(v, -1, -2), rtol=0.0, atol=1e-8 * max(scale, 1e-300)):
+            raise ValueError("x_var must be symmetric")
     ev = _np.linalg.eigvalsh(v) if v.ndim >= 2 else v
     # PSD up to eigensolver roundoff: a rank-deficient but legitimate
     # covariance (e.g. np.outer(v, v)) reports eigenvalues ~ -1e-16*scale,
@@ -542,17 +549,40 @@ def Z_var(state: BQState, opts: BQOptions) -> jnp.ndarray:
     amplified by large α entries) exceeds f32 precision — observed to drive
     V[Z] negative on hardware.
     """
+    raw, _ = _z_var_dispatch(opts)(state, opts)
+    # Quadrature/closed-form raws can land epsilon-negative at the rounding
+    # floor of the cancellation; see Z_var_exact for the clamp rationale.
+    return jnp.maximum(raw, 0.0)
+
+
+def _z_var_gh_terms(state: BQState, opts: BQOptions):
+    return _z_var_quad_terms(state, opts, *_gh_nodes(state, opts))
+
+
+def _z_var_qmc_terms(state: BQState, opts: BQOptions):
+    return _z_var_quad_terms(state, opts, *_qmc_nodes(state, opts, opts.n_qmc))
+
+
+def _z_var_dispatch(opts: BQOptions):
+    """The kernel/dtype/dim dispatch tree for V[Z], as ONE function returning
+    the pre-clamp terms function ``(state, opts) -> (raw, gross)``.
+
+    Single source of truth consumed by both ``Z_var`` (production estimate)
+    and ``Z_var_terms`` (health diagnostics), so the diagnostic can never
+    silently measure a different quadrature path than the one serving
+    estimates (ADVICE r3). Routes:
+    - non-gaussian kernels: GH bilinear form for d ≤ 3, Halton QMC beyond
+      (tensor-product GH explodes with d);
+    - gaussian f32 (the TPU hot path): same quadrature routes — the closed
+      form's cancellation (result ~1e-6 against ~1e-1 intermediates)
+      exceeds f32 and was observed to drive V[Z] negative on hardware;
+    - gaussian f64: the exact closed form.
+    """
     if opts.kernel != "gaussian":
-        if opts.dim > 3:
-            return Z_var_qmc(state, opts)  # kernel-agnostic, any d
-        return Z_var_gh(state, opts)  # kernel-agnostic quadrature form
+        return _z_var_qmc_terms if opts.dim > 3 else _z_var_gh_terms
     if opts.dtype == "float32":
-        if opts.dim <= 3:
-            return Z_var_gh(state, opts)  # tensor-product GH, stable in f32
-        # d > 3: tensor-product GH explodes and the closed form cancels in
-        # f32 — use the Halton QMC rule (same stable bilinear form as GH).
-        return Z_var_qmc(state, opts)
-    return Z_var_exact(state, opts)
+        return _z_var_gh_terms if opts.dim <= 3 else _z_var_qmc_terms
+    return Z_var_exact_terms
 
 
 def Z_var_exact(state: BQState, opts: BQOptions) -> jnp.ndarray:
@@ -679,15 +709,7 @@ def Z_var_terms(state: BQState, opts: BQOptions):
     rounding floor the clamp exists for; |raw| a large fraction of gross
     means the clamp is masking a genuine sign error.
     """
-    if opts.kernel != "gaussian":
-        if opts.dim > 3:
-            return _z_var_quad_terms(state, opts, *_qmc_nodes(state, opts, opts.n_qmc))
-        return _z_var_quad_terms(state, opts, *_gh_nodes(state, opts))
-    if opts.dtype == "float32":
-        if opts.dim <= 3:
-            return _z_var_quad_terms(state, opts, *_gh_nodes(state, opts))
-        return _z_var_quad_terms(state, opts, *_qmc_nodes(state, opts, opts.n_qmc))
-    return Z_var_exact_terms(state, opts)
+    return _z_var_dispatch(opts)(state, opts)
 
 
 def Z_mean_and_var(state: BQState, opts: BQOptions):

@@ -641,7 +641,8 @@ def cholesky_batch_major(Ks, interpret=None):
     """
     interpret = _interpret(interpret)
     B, N, N2 = Ks.shape
-    assert N == N2, Ks.shape
+    if N != N2:
+        raise ValueError(f"cholesky_batch_major needs square matrices; got {Ks.shape}")
     if Ks.dtype != jnp.float32:
         raise TypeError("cholesky_batch_major is float32-only")
     if not bm_supported(N, B):
