@@ -472,14 +472,15 @@ def test_matern52_kernel_bq_end_to_end():
     np.testing.assert_allclose(
         zm, float(bqm.approx_Z_mean(bq.state, bq.options, tu.make_xo())), rtol=1e-3
     )
-    # V[Z] for a Matérn kernel runs the GH bilinear form with the 512-node
-    # cusp floor (un-floored 128-node GH measured 4.7% off); pin it against
-    # the independent dense-trapezoid twin (gp_mean/gp_cov + trapezoid —
-    # no shared quadrature code)
+    # V[Z] for a Matérn kernel in f64 now runs the exact Gamma-mixture
+    # closed form (it replaced the 512-node GH cusp floor, which was
+    # quadrature-bound at ~5e-4); pin it against the independent
+    # dense-trapezoid twin (gp_mean/gp_cov + trapezoid — no shared
+    # quadrature code). Full accuracy story: tests/test_matern_zvar.py.
     np.testing.assert_allclose(
         float(bq.Z_var()),
         float(bqm.approx_Z_var(bq.state, bq.options, tu.make_xo())),
-        rtol=2e-3,
+        rtol=1e-7,
     )
     bq.fit_hypers(seed=0)
     assert abs(bq.Z_mean() - Z) / Z < 2e-2
@@ -590,7 +591,9 @@ def test_4d_f32_Z_var_qmc_matches_f64_closed_form():
 
 
 def test_4d_matern52_Z_var_no_capability_cliff():
-    """Non-gaussian kernels at d > 3 no longer raise: V[Z] via QMC."""
+    """Matérn at d > 3 no longer raises: f64 V[Z] via the Gamma-mixture
+    closed form (any d; it was QMC before round 4 — non-Matérn non-gaussian
+    kernels at d > 3 still take the QMC route)."""
     from scipy import stats
 
     from tpubq.models import bq as bqm

@@ -20,10 +20,11 @@ from tpubq.models import acquire, bq as bqm
 from tpubq.utils.options import BQOptions
 
 # gaussian exercises the gaussian closed forms; 1-D matern the erfcx
-# closed form (integrals._int_K_matern_1d) + quadrature V[Z]; 2-D matern
-# the Gamma-mixture z/zeta route (integrals.int_K_matern_mixture) +
-# quadrature V[Z]; the d > 2 paths (QMC etc.) are pinned by dedicated
-# tests elsewhere.
+# closed form (integrals._int_K_matern_1d) + the exact mixture V[Z]
+# (integrals.int_*_matern, round 4); 2-D matern the Gamma-mixture
+# z/zeta route (integrals.int_K_matern_mixture) + the fused-mixture
+# exact V[Z]; the d > 2 paths (QMC etc.) are pinned by dedicated tests
+# elsewhere.
 CONFIGS = [(1, "gaussian"), (2, "gaussian"), (1, "matern52"), (2, "matern52"),
            (1, "matern32")]
 SEEDS = [0, 1, 2]

