@@ -32,19 +32,37 @@ jax.config.update("jax_enable_x64", True)
 # and the dirty-wipe must never pull entries out from under the other.
 _CACHE_DIR = "/tmp/tpubq_xla_cache_tests" + ("_tpu" if _USE_TPU else "")
 _DIRTY_MARKER = os.path.join(_CACHE_DIR, ".dirty")
+def _proc_start_token(pid):
+    """Process start time (field 22 of /proc/pid/stat, clock ticks since
+    boot) — identifies a PID across reuse. None if unreadable."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # field 2 (comm) may contain spaces/parens; split after the last ')'
+        return stat[stat.rindex(b")") + 2:].split()[19].decode()
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _marker_owner_alive():
-    """The marker records its creator's PID: a marker whose owner is still
-    running is a CONCURRENT session (leave its cache alone), not a crashed
-    one."""
+    """The marker records its creator's PID + start time: a marker whose
+    owner is still running is a CONCURRENT session (leave its cache alone),
+    not a crashed one. The start-time token guards against PID reuse
+    (ADVICE r3): a recycled PID would otherwise make a crashed session look
+    live and skip the cache wipe."""
     try:
         with open(_DIRTY_MARKER) as f:
-            pid = int(f.read().strip() or "0")
+            parts = f.read().split()
+        pid = int(parts[0]) if parts else 0
         if pid <= 0:
             # empty/corrupt marker (writer died mid-write): os.kill(0, 0)
             # would signal OUR process group and always "succeed" — treat
             # as a crashed owner so the cache gets wiped.
             return False
         os.kill(pid, 0)
+        token = _proc_start_token(pid)
+        if len(parts) >= 2 and token is not None and parts[1] != token:
+            return False  # PID reused by an unrelated process
         return True
     except (OSError, ValueError):
         return False
@@ -60,7 +78,7 @@ try:
     os.makedirs(_CACHE_DIR, exist_ok=True)
     if not os.path.exists(_DIRTY_MARKER):
         with open(_DIRTY_MARKER, "w") as f:
-            f.write(str(os.getpid()))
+            f.write(f"{os.getpid()} {_proc_start_token(os.getpid()) or ''}")
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -75,8 +93,9 @@ def pytest_sessionfinish(session, exitstatus):
     # clear another live session's crash sentinel).
     try:
         with open(_DIRTY_MARKER) as f:
-            if int(f.read().strip() or "0") == os.getpid():
-                os.remove(_DIRTY_MARKER)
+            parts = f.read().split()
+        if parts and int(parts[0]) == os.getpid():
+            os.remove(_DIRTY_MARKER)
     except (OSError, ValueError):
         pass
 if not _USE_TPU:

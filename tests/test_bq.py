@@ -24,6 +24,30 @@ def test_init_validation():
         tpubq.BQ(x, tu.f_l(x), bogus_option=1)
 
 
+def test_init_rejects_nonpositive_theta():
+    """Kernel params are positive scales: w = 0 divides into NaN Grams and
+    negative h/w are sign-degenerate. Rejected host-side at BQ.init (and at
+    fleet init on the concrete arrays — init_state itself runs under vmap
+    and can only shape-check tracers)."""
+    from tpubq.models import batched
+    from tpubq.utils.options import BQOptions
+
+    x = tu.make_x()
+    l = tu.f_l(x)
+    for bad in [(1.0, -0.5), (1.0, 0.0), (0.0, 1.0), (np.nan, 1.0), (1.0, np.inf)]:
+        with pytest.raises(ValueError, match="finite and > 0"):
+            tpubq.BQ(x, l, x_mean=0.0, x_var=1.0).init(params_tl=bad)
+        with pytest.raises(ValueError, match="finite and > 0"):
+            tpubq.BQ(x, l, x_mean=0.0, x_var=1.0).init(params_l=bad)
+    opts = BQOptions(n_candidate=4, candidate_thresh=0.2, max_obs=16)
+    xs = np.stack([x, x + 0.05])
+    ls = np.stack([l, l])
+    with pytest.raises(ValueError, match="finite and > 0"):
+        batched.init_batch(xs, ls, opts, params_tl=np.array([[1.0, 0.4], [1.0, 0.0]]))
+    # valid params still pass
+    tpubq.BQ(x, l, x_mean=0.0, x_var=1.0).init(params_tl=(0.7, 0.8))
+
+
 def test_candidate_spacing():
     bq = tu.make_bq()
     x_c = bq.x_c[:, 0]
@@ -178,6 +202,48 @@ def test_save_load_roundtrip(tmp_path):
     fs = tmp_path / "bq_seeded.npz"
     bq_s.save(fs)
     assert tpubq.BQ.load(fs)._seed == 11
+
+
+def test_load_reference_style_npz(tmp_path):
+    """Checkpoint compatibility shim (SURVEY §5 checkpoint row): a
+    reference-produced .npz — alternate field spellings, pickled options
+    dict, no opt_* / theta_tl markers — loads into an equivalent BQ. The
+    exact reference field set is unverifiable while the mount is empty, so
+    the shim is pinned against every plausible spelling."""
+    x = tu.make_x()
+    l = tu.f_l(x)
+
+    # variant A: reference init() naming + pickled options dict
+    fa = tmp_path / "ref_a.npz"
+    np.savez(
+        fa, x=x, l=l, params_tl=np.array([0.7, 0.8]),
+        params_l=np.array([0.3, 0.4]), gamma=1.0, x_mean=0.0, x_var=1.0,
+        options=np.asarray({"n_candidate": 7, "candidate_thresh": 0.2,
+                            "ntry": 10}, dtype=object),
+    )
+    with pytest.warns(UserWarning, match="ntry"):
+        bq = tpubq.BQ.load(fa)
+    assert bq.options.n_candidate == 7
+    np.testing.assert_allclose(bq.x_s[:, 0], x)
+    # equivalent native-constructed twin gives identical estimates
+    twin = tpubq.BQ(x, l, n_candidate=7, candidate_thresh=0.2,
+                    x_mean=0.0, x_var=1.0)
+    twin.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4))
+    assert abs(bq.Z_mean() - twin.Z_mean()) < 1e-12
+    assert abs(bq.Z_var() - twin.Z_var()) < 1e-12
+
+    # variant B: alternate measure/obs spellings, no hypers at all
+    fb = tmp_path / "ref_b.npz"
+    np.savez(fb, x_so=x, l_so=l, mean=np.array(0.0), cov=np.array(1.0))
+    with pytest.warns(UserWarning, match="no hyperparameters"):
+        bq_b = tpubq.BQ.load(fb)
+    assert np.isfinite(bq_b.Z_mean())
+
+    # variant C: junk file raises a specific error
+    fc = tmp_path / "junk.npz"
+    np.savez(fc, foo=np.arange(3))
+    with pytest.raises(ValueError, match="neither tpubq-native nor reference"):
+        tpubq.BQ.load(fc)
 
 
 def test_marginalize_shapes_and_consistency():
@@ -908,6 +974,54 @@ def test_guard_colsum_positive_kernel_invariant():
             # the exact property the guard relies on
             np.testing.assert_array_equal(
                 np.sum(np.abs(K), axis=0), np.sum(K, axis=0))
+
+
+def test_periodic_small_period_floor():
+    """Weak-spot regime (VERDICT r3): a period p ≪ measure σ oscillates
+    faster than the default 128 GH nodes resolve. Pins (a) the measured
+    validity rule n_req = 32·(σ/(p·min(1,w)))², (b) that the rule's node
+    count converges the measure integral where the default visibly fails,
+    and (c) that the API warns a hostile-hyper user at init and fit."""
+    import warnings
+
+    import jax.numpy as jnp
+    from scipy.special import roots_hermitenorm
+
+    from tpubq.ops import kernels
+
+    h, w, p = 1.0, 1.0, 0.25  # sigma=1 -> rule floor = 512
+    need = bqm.periodic_gh_floor((h, w, p), 1.0)
+    assert need == 512
+    # dense-trapezoid oracle for the single measure integral at x_i = 0.3
+    th = jnp.asarray([h, w, p], jnp.float64)
+    xi = jnp.asarray([[0.3]], jnp.float64)
+    xs = np.linspace(-10, 10, 400001)
+    pdf = np.exp(-(xs**2) / 2) / np.sqrt(2 * np.pi)
+    kv = np.asarray(kernels.periodic_K(th, jnp.asarray(xs)[:, None], xi))[:, 0]
+    i_true = np.trapezoid(kv * pdf, xs)
+
+    def gh(n):
+        t, wq = roots_hermitenorm(n)
+        kq = np.asarray(kernels.periodic_K(th, jnp.asarray(t)[:, None], xi))[:, 0]
+        return float(np.sum(kq * wq / np.sqrt(2 * np.pi)))
+
+    assert abs(gh(128) - i_true) / i_true > 1e-5      # default floor fails
+    assert abs(gh(need) - i_true) / i_true < 1e-8     # rule floor converges
+    # harmonic hardening: small w raises the floor quadratically
+    assert bqm.periodic_gh_floor((h, 0.25, p), 1.0) == 8192
+
+    # API warning at init (and not for benign periods)
+    x = np.linspace(-2.0, 2.0, 9)
+    l = np.exp(np.cos(x)) + 0.01
+    with pytest.warns(UserWarning, match="GH nodes"):
+        tpubq.BQ(x, l, kernel="periodic", n_candidate=6, candidate_thresh=0.2,
+                 x_mean=0.0, x_var=1.0, max_obs=16).init(
+            params_tl=(h, w, p), params_l=(h, w, p))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tpubq.BQ(x, l, kernel="periodic", n_candidate=6, candidate_thresh=0.2,
+                 x_mean=0.0, x_var=1.0, max_obs=16).init(
+            params_tl=(1.0, 1.0, 4.0), params_l=(1.0, 1.0, 4.0))
 
 
 def test_measure_and_gamma_validation():

@@ -95,7 +95,12 @@ class BQ:
 
         Defaults are dim-aware: (h=1, w_1..w_d=1) for gaussian/matern52,
         (h, w, p) = (1, 1, 1) for periodic. Explicit params are validated
-        against the kernel family and dim (len must be dim+1 for gaussian)."""
+        against the kernel family and dim (len must be dim+1 for gaussian)
+        and must be positive scales (w = 0 NaNs the Gram)."""
+        if params_tl is not None:
+            bqm.validate_theta_values(params_tl, self.options, "params_tl")
+        if params_l is not None:
+            bqm.validate_theta_values(params_l, self.options, "params_l")
         self._state = bqm.init_state(
             self._x0,
             self._l0,
@@ -109,7 +114,33 @@ class BQ:
             x_var=self._x_var0,
         )
         self._initialized = True
+        self._warn_periodic_resolution()
         return self
+
+    def _warn_periodic_resolution(self):
+        """Periodic kernels integrate over the measure by GH quadrature whose
+        node count (opts.n_gh) is a static compile shape — it cannot adapt to
+        the (traced) period inside jit. Host-side, where θ IS concrete (init
+        and fit), warn when the current hypers oscillate faster than n_gh
+        resolves (measured validity rule: bq.py::periodic_gh_floor)."""
+        if self.options.kernel != "periodic" or self._state is None:
+            return
+        st = self._state
+        need = max(
+            bqm.periodic_gh_floor(np.asarray(st.gp_log_l.theta), np.asarray(st.x_var)),
+            bqm.periodic_gh_floor(np.asarray(st.gp_l.theta), np.asarray(st.x_var)),
+        )
+        if self.options.n_gh < need:
+            import warnings
+
+            warnings.warn(
+                f"periodic kernel with period/length-scale this small needs "
+                f"~{need} GH nodes over the measure for converged Z estimates; "
+                f"n_gh={self.options.n_gh} is below that floor — pass "
+                f"n_gh={need} (estimates may carry O(>1e-6) quadrature error "
+                f"until then)",
+                stacklevel=3,
+            )
 
     def _key(self, seed=None):
         if seed is None:
@@ -277,6 +308,7 @@ class BQ:
             self.s_l = float(self._state.gp_l.s)
         logger.debug("fit_hypers: theta_tl=%s (mll=%.4f) theta_l=%s (mll=%.4f)",
                      theta_tl, float(mll_tl), theta_l, float(mll_l))
+        self._warn_periodic_resolution()
         return self
 
     #: BASELINE.json spells the public method ``fit``.
@@ -462,8 +494,20 @@ class BQ:
 
     @classmethod
     def load(cls, filename):
-        """Reconstruct a BQ from .npz (bq.py::BQ.load)."""
+        """Reconstruct a BQ from .npz (bq.py::BQ.load).
+
+        Accepts two layouts: tpubq-native files (``save`` above: flat
+        ``theta_*``/``opt_*`` fields, no pickling), and reference-style
+        files (SURVEY §3.5 reconstruction: ``x``/``l`` observation
+        spellings, ``params_tl``/``params_l`` hypers, possibly a pickled
+        ``options`` dict — the schema was kept framework-agnostic exactly
+        so reference-produced checkpoints could load; field-name fidelity
+        is unverifiable while the reference mount is empty, so the shim
+        accepts every plausible spelling and ignores unknown option keys
+        with a warning rather than failing)."""
         with np.load(str(filename), allow_pickle=False) as d:
+            if "theta_tl" not in d.files:
+                return cls._load_reference_style(filename)
             opts = {}
             for k in _OPTION_KEYS:
                 if f"opt_{k}" not in d.files:
@@ -486,6 +530,76 @@ class BQ:
                    for k, v in opts.items()},
             )
             obj.init(params_tl=d["theta_tl"], params_l=d["theta_l"])
+        return obj
+
+    @classmethod
+    def _load_reference_style(cls, filename):
+        """Loader shim for reference-produced .npz files (see ``load``).
+
+        Tolerant field mapping: observations under ``x``/``x_s``/``x_so``,
+        likelihoods under ``l``/``l_s``/``l_so``, hypers under
+        ``params_tl``/``theta_tl`` (likewise ``_l``), measure under
+        ``x_mean``/``mean`` + ``x_var``/``cov``/``var``. Options may be a
+        pickled dict under ``options`` (the reference pickled its kwargs
+        dict; np.savez stores it as a 0-d object array) — loaded with
+        ``allow_pickle=True`` ONLY for that key, filtered to known option
+        names, unknown keys dropped with a warning. Hyperparameters missing
+        entirely → ``init()`` defaults + a warning to re-``fit``.
+        """
+        import warnings
+
+        def pick(d, *names):
+            for n in names:
+                if n in d.files:
+                    return d[n]
+            return None
+
+        with np.load(str(filename), allow_pickle=True) as d:
+            x = pick(d, "x_s", "x", "x_so")
+            l = pick(d, "l_s", "l", "l_so")
+            if x is None or l is None:
+                raise ValueError(
+                    f"{filename} has neither tpubq-native nor reference-style "
+                    f"BQ fields (found: {sorted(d.files)})"
+                )
+            kwargs = {}
+            raw_opts = pick(d, "options", "opts")
+            if raw_opts is not None and raw_opts.dtype == object:
+                raw_opts = raw_opts[()]
+                if isinstance(raw_opts, dict):
+                    known = set(_OPTION_KEYS) | {"x_mean", "x_var", "gamma", "s", "s_l"}
+                    dropped = sorted(set(raw_opts) - known)
+                    if dropped:
+                        warnings.warn(
+                            f"ignoring unknown option keys in {filename}: {dropped}"
+                        )
+                    kwargs.update({k: v for k, v in raw_opts.items() if k in known})
+            for key, names in (
+                ("x_mean", ("x_mean", "mean")),
+                ("x_var", ("x_var", "cov", "var")),
+                ("gamma", ("gamma",)),
+                ("s", ("s_tl", "s")),
+                ("s_l", ("s_l",)),
+            ):
+                v = pick(d, *names)
+                if v is not None:
+                    kwargs[key] = float(v) if np.ndim(v) == 0 else v
+            kwargs.setdefault("x_mean", 0.0)
+            kwargs.setdefault("x_var", 1.0)
+            # scalars saved through np.savez arrive as 0-d arrays
+            kwargs = {k: (v.item() if isinstance(v, np.ndarray) and v.ndim == 0 else v)
+                      for k, v in kwargs.items()}
+            if isinstance(kwargs.get("kernel"), (np.str_, np.bytes_)):
+                kwargs["kernel"] = str(kwargs["kernel"])
+            obj = cls(x, l, **kwargs)
+            p_tl = pick(d, "theta_tl", "params_tl")
+            p_l = pick(d, "theta_l", "params_l")
+            if p_tl is None and p_l is None:
+                warnings.warn(
+                    f"{filename} carries no hyperparameters; initialized with "
+                    f"defaults — call fit() before trusting estimates"
+                )
+            obj.init(params_tl=p_tl, params_l=p_l)
         return obj
 
     # ---------------------------------------------------------------- plotting

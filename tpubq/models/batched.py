@@ -71,15 +71,18 @@ def init_batch(
     if n > opts.max_obs:
         raise ValueError(f"{n} observations exceed max_obs={opts.max_obs}")
 
-    from tpubq.models.bq import default_params, validate_theta
+    from tpubq.models.bq import default_params, validate_theta, validate_theta_values
 
     if params_tl is None:
         params_tl = default_params(opts)
     if params_l is None:
         params_l = default_params(opts)
-    # validate the param width (last axis, whether shared (p,) or per-problem (B, p))
+    # validate the param width (last axis, whether shared (p,) or per-problem
+    # (B, p)) and the values (here, on the concrete host arrays — init_state
+    # below runs under vmap and can only shape-check tracers)
     for name, p in (("params_tl", params_tl), ("params_l", params_l)):
         validate_theta(np.zeros(np.asarray(p, dtype).shape[-1]), opts, name)
+        validate_theta_values(p, opts, name)
 
     # measures broadcast like hyperparameters: scalar / (d,) / (d, d) are
     # shared across the fleet; (B, d) / (B, d, d) are per-problem

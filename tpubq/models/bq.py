@@ -235,6 +235,51 @@ def validate_theta(theta, opts: BQOptions, name="theta"):
         )
 
 
+def validate_theta_values(theta, opts: BQOptions, name="theta") -> None:
+    """Host-side value check for explicit kernel params: every entry is a
+    positive scale (h, w_j, and the family extras p/α are all > 0; w = 0
+    divides by zero into NaN Grams, and the sign of h/w is degenerate —
+    the reference treats them as magnitudes). Split from ``validate_theta``
+    because that one must stay trace-safe: ``init_state`` runs under vmap
+    in the fleet path, where entries are tracers and only shapes can be
+    checked (``batched.init_batch`` calls THIS one on the concrete user
+    arrays before vmapping).
+    """
+    import numpy as np
+
+    v = np.asarray(theta, dtype=np.float64)
+    if not np.all(np.isfinite(v)) or np.any(v <= 0.0):
+        raise ValueError(
+            f"{name} entries must be finite and > 0 (kernel scales); got {v}"
+        )
+
+
+def periodic_gh_floor(theta, x_var) -> int:
+    """Measured GH node requirement for a periodic kernel over N(·, x_var).
+
+    GH converges spectrally on the C^∞ periodic kernel, but the onset of
+    convergence is set by how many oscillations fit under the measure: a
+    period p ≪ σ (measure scale) oscillates faster than the node spacing
+    resolves, and a small within-period length-scale w adds harmonics (the
+    exp(2cos/w²) Bessel expansion extends to order ~2/w²). Measured rule
+    (f64, single measure integral, ≤1e-13 at the floor / ≤1e-9 at half of
+    it — see tests/test_bq.py::test_periodic_small_period_floor):
+
+        n_req = 32 · (σ / (p · min(1, w)))²
+
+    Host-side only: node count is a static shape, so the jitted quadrature
+    cannot adapt to a traced θ — the API layer warns when opts.n_gh is
+    below this floor (BQ._warn_periodic_resolution).
+    """
+    import numpy as np
+
+    th = np.asarray(theta, dtype=np.float64).ravel()
+    w, p = float(th[1]), float(th[2])
+    v = np.atleast_2d(np.asarray(x_var, dtype=np.float64))
+    sigma = float(np.sqrt(np.max(np.linalg.eigvalsh(v))))
+    return int(np.ceil(32.0 * (sigma / (p * min(1.0, w))) ** 2))
+
+
 def validate_measure(x_var) -> None:
     """Raise if a (possibly batched) measure covariance is not PSD.
 

@@ -90,15 +90,21 @@ JITTER_LADDER_F32 = (0.0, 1e-4)
 def posdef_cholesky(A: jnp.ndarray) -> jnp.ndarray:
     """``jnp.linalg.cholesky`` with a TPU-aware batching rule.
 
-    Unbatched it IS ``jnp.linalg.cholesky``. Under ``vmap`` (the fleet /
-    marginalize paths), XLA's batched Cholesky serializes one custom call
-    per matrix (measured v5e: 285 µs at (100,26,26), 540 µs at (64,76,76));
-    the batching rule dispatches instead to the batch-major Pallas kernel
+    Unbatched it IS ``jnp.linalg.cholesky`` (including its stacked
+    semantics on a (R, n, n) input — the f32 rung stack relies on that).
+    Under ``vmap`` (the fleet / marginalize paths), XLA's batched Cholesky
+    serializes one custom call per matrix (measured v5e: 285 µs at
+    (100,26,26), 540 µs at (64,76,76)); the batching rule dispatches
+    instead to the batch-major Pallas kernel
     (``pallas_kernels.cholesky_batch_major``: batch in the VPU lanes — 10 µs
     and 59 µs at those shapes) when it applies: float32, on TPU, and the
-    shape fits VMEM (``pallas_kernels.bm_supported``). Everything else falls
-    through to XLA; nested vmap maps the kernel over an extra grid
-    dimension.
+    shape fits VMEM (``pallas_kernels.bm_supported``). A vmapped STACKED
+    call — (B, R, n, n), from ``jitter_cholesky``'s f32 rung stack under
+    fleet/marginalize vmap — flattens (B·R) into one batch-major round
+    (the rung-stack experiment, PARITY addendum (k): one (2B) round costs
+    1.07× a single-B round vs 1.83× for two sequential B rounds).
+    Everything else falls through to XLA; nested vmap maps the kernel over
+    an extra grid dimension.
 
     NOT differentiable-through under vmap (the Pallas kernel has no VJP);
     grad paths use ``cholesky_fixed``, which calls ``jnp.linalg.cholesky``
@@ -115,6 +121,21 @@ def _posdef_cholesky_vmap(axis_size, in_batched, A):
     if not a_batched:
         return jnp.linalg.cholesky(A), False
     from tpubq.ops import pallas_kernels as pk
+
+    if A.ndim == 4:
+        # vmapped rung stack: fold the rung axis into the batch and run ONE
+        # batch-major round over B·R matrices
+        B, R, n = A.shape[0], A.shape[1], A.shape[-1]
+        use_bm = (
+            A.dtype == jnp.float32
+            and B * R >= 8
+            and pk.bm_supported(n, B * R)
+            and pk.on_tpu()
+        )
+        if use_bm:
+            L = pk.cholesky_batch_major(A.reshape(B * R, n, n))
+            return L.reshape(A.shape), True
+        return jnp.linalg.cholesky(A), True
 
     use_bm = (
         A.ndim == 3
@@ -161,17 +182,26 @@ def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0)
     eye_live = jnp.eye(K.shape[0], dtype=dtype) * mask.astype(dtype)
 
     if dtype == jnp.float32:
-        L, jit_used, ok = None, None, None
-        for r in reversed(JITTER_LADDER_F32):
-            j = (jnp.asarray(r, dtype) + jnp.asarray(base_jitter, dtype)) * scale
-            Li = posdef_cholesky(Kp + eye_live * j)
-            oki = jnp.all(jnp.isfinite(Li))
-            if L is None:  # coarsest rung seeds the fold
-                L, jit_used, ok = Li, j, oki
-            else:  # finer rung wins whenever it is finite
-                L = jnp.where(oki, Li, L)
-                jit_used = jnp.where(oki, j, jit_used)
-                ok = jnp.logical_or(oki, ok)
+        # Rung STACK, not a rung loop: both jittered copies factor in ONE
+        # posdef_cholesky call on a (2, n, n) stack, so under fleet /
+        # marginalize vmap the whole ladder costs one batch-major Pallas
+        # round over 2B matrices instead of two sequential B-rounds
+        # (measured v5e, B=64 n=48: 21.3 µs vs 36.5 µs per refit round,
+        # bit-identical selection — benchmarks/rung_stack.py, PARITY
+        # addendum (k)). Selection stays pure data flow.
+        js = [
+            (jnp.asarray(r, dtype) + jnp.asarray(base_jitter, dtype)) * scale
+            for r in JITTER_LADDER_F32
+        ]
+        Ks = jnp.stack([Kp + eye_live * j for j in js])
+        Ls = posdef_cholesky(Ks)
+        ok_r = jnp.all(jnp.isfinite(Ls), axis=(-2, -1))  # (n_rungs,)
+        # finest finite rung wins (rung 0 is the finest)
+        L, jit_used, ok = Ls[-1], js[-1], ok_r[-1]
+        for i in range(len(js) - 2, -1, -1):
+            L = jnp.where(ok_r[i], Ls[i], L)
+            jit_used = jnp.where(ok_r[i], js[i], jit_used)
+            ok = jnp.logical_or(ok_r[i], ok)
         return L, jit_used, ok
 
     ladder = jnp.asarray(JITTER_LADDER, dtype=dtype) + jnp.asarray(base_jitter, dtype)
