@@ -105,6 +105,25 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _out_struct(shape, dtype, *refs):
+    """ShapeDtypeStruct for a pallas_call output, with its varying-mesh-axes
+    set (vma) inherited from the inputs. Inside ``shard_map(check_vma=True)``
+    every output aval must declare which mesh axes it varies over; a plain
+    ShapeDtypeStruct carries ``vma=None`` and is rejected at trace time
+    (observed on the 1-device TPU mesh: posdef_cholesky's batch-major
+    dispatch inside the sharded refit). These kernels are shard-local —
+    each device computes its block independently — so the output varies
+    over exactly the axes any input varies over (the union). Outside
+    shard_map ``jax.typeof(x).vma`` is empty and this reduces to the plain
+    struct."""
+    vma = frozenset()
+    for r in refs:
+        vma = vma | (getattr(jax.typeof(r), "vma", None) or frozenset())
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Gram construction
 # ---------------------------------------------------------------------------
@@ -437,7 +456,7 @@ def esm_fused(params, grid, xsc, msc, Kinv, uz, alpha, xs, ms, Kinv_tl,
     with _x64_off():
         out = pl.pallas_call(
             _esm_kernel_factory(d),
-            out_shape=jax.ShapeDtypeStruct((1, Gp), dtype),
+            out_shape=_out_struct((1, Gp), dtype, g, xsc, Kinv, alpha),
             grid=(Gp // tile,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -665,7 +684,7 @@ def cholesky_batch_major(Ks, interpret=None):
     with _x64_off():
         out = pl.pallas_call(
             _chol_bm_kernel,
-            out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), jnp.float32),
+            out_shape=_out_struct((n_pad, n_pad, b_pad), jnp.float32, A),
             grid=(b_pad // tile,),
             in_specs=[
                 pl.BlockSpec((n_pad, n_pad, tile), lambda i: (0, 0, i),
@@ -906,9 +925,9 @@ def esm_fleet_l(scal, params, grid, xsc, w2inv, h2, msc, Kinv4, uz, alpha,
         A, B, dg = pl.pallas_call(
             _esm_fleet_l_kernel_factory(d, NPB, P, fast),
             out_shape=(
-                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
-                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
-                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
+                _out_struct((NB, P, Gp), dtype, g, xsc, Kinv4, alpha),
+                _out_struct((NB, P, Gp), dtype, g, xsc, Kinv4, alpha),
+                _out_struct((NB, P, Gp), dtype, g, xsc, Kinv4, alpha),
             ),
             grid=(NB, Gp // tile),
             in_specs=[
@@ -1005,8 +1024,8 @@ def esm_fleet_tl(params, grid, xs, w2inv, h2, ms, Kinv4, alpha,
         m_a, c_a = pl.pallas_call(
             _esm_fleet_tl_kernel_factory(d, NPB, P, fast),
             out_shape=(
-                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
-                jax.ShapeDtypeStruct((NB, P, Gp), dtype),
+                _out_struct((NB, P, Gp), dtype, g, xs, Kinv4, alpha),
+                _out_struct((NB, P, Gp), dtype, g, xs, Kinv4, alpha),
             ),
             grid=(NB, Gp // tile),
             in_specs=[
