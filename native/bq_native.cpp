@@ -16,7 +16,9 @@
 // All routines are 1-D (the reference's regime), float64, extern "C" for
 // ctypes. Built by tpubq/utils/native.py with g++ -O3.
 
+#include <algorithm>
 #include <cmath>
+#include <complex>
 #include <cstddef>
 #include <cstring>
 #include <vector>
@@ -209,6 +211,73 @@ void bq_esm_grid(double* out, const double* grid, std::size_t na,
     const double E1 = gamma * (e1 - 1.0);
     const double E2 = gamma * gamma * (e2 - 2.0 * e1 + 1.0);
     out[a] = A * A + 2.0 * A * B * E1 + B * B * E2;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Periodic-kernel measure integrals (Jacobi–Anger; independent oracle for
+// tpubq/ops/integrals.py's int_*_periodic — see PARITY.md addendum (m)).
+// Bessel terms come from the STANDARD LIBRARY (std::cyl_bessel_i), not a
+// Miller recurrence, so the two implementations share no numerical code.
+// Valid for z = 1/w² ≲ 700 (I_n(z)·e^{−z} computed by explicit scaling; the
+// oracle regime — the JAX side owns extreme scales).
+// ---------------------------------------------------------------------------
+
+// ∫ k_per(x', x_i) N(x'|mu, s2) dx',
+// k_per(d) = h² exp(−2 sin²(d/(2p))/w²) = h² e^{−z} Σ_n I_n(z) e^{i n d / p}.
+void bq_int_K_periodic(double* out, const double* x, std::size_t n, double h,
+                       double w, double p, double mu, double s2, int nterms) {
+  const double z = 1.0 / (w * w);
+  const double om = 1.0 / p;
+  const double ez = std::exp(-z);
+  std::vector<double> a(nterms + 1);
+  for (int k = 0; k <= nterms; ++k) a[k] = ez * std::cyl_bessel_i(k, z);
+  for (std::size_t i = 0; i < n; ++i) {
+    double acc = a[0];
+    for (int k = 1; k <= nterms; ++k) {
+      const double t = k * om;
+      acc += 2.0 * a[k] * std::exp(-0.5 * t * t * s2) *
+             std::cos(t * (x[i] - mu));
+    }
+    out[i] = h * h * acc;
+  }
+}
+
+// ∫∫ k1(x1_a, x) k2(x, x') k1(x', x2_b) p(x) p(x') dx dx', all periodic —
+// the V[Z] workhorse, as the rank-per-inner-harmonic factorization
+// T_ab = Σ_m B_m F_m(a) G_m(b) with φ(t) = e^{itμ − t²σ²/2}.
+void bq_int_int_K1_K2_periodic(double* out, const double* x1, std::size_t n1,
+                               const double* x2, std::size_t n2, double h1,
+                               double w1, double p1, double h2, double w2,
+                               double p2, double mu, double s2, int nterms) {
+  const double z1 = 1.0 / (w1 * w1), z2 = 1.0 / (w2 * w2);
+  const double om1 = 1.0 / p1, om2 = 1.0 / p2;
+  const double e1 = std::exp(-z1), e2 = std::exp(-z2);
+  const int N = nterms;
+  std::vector<double> A(2 * N + 1), B(2 * N + 1);
+  for (int k = -N; k <= N; ++k) {
+    A[k + N] = h1 * h1 * e1 * std::cyl_bessel_i(std::abs(k), z1);
+    B[k + N] = h2 * h2 * e2 * std::cyl_bessel_i(std::abs(k), z2);
+  }
+  auto phi = [&](double t) {
+    return std::polar(std::exp(-0.5 * t * t * s2), t * mu);
+  };
+  for (std::size_t a = 0; a < n1; ++a) std::memset(out + a * n2, 0, n2 * 8);
+  std::vector<std::complex<double>> F(n1), G(n2);
+  for (int m = -N; m <= N; ++m) {
+    std::fill(F.begin(), F.end(), std::complex<double>(0.0, 0.0));
+    std::fill(G.begin(), G.end(), std::complex<double>(0.0, 0.0));
+    for (int nn = -N; nn <= N; ++nn) {
+      const std::complex<double> pf = phi(m * om2 - nn * om1);
+      const std::complex<double> pg = phi(nn * om1 - m * om2);
+      for (std::size_t i = 0; i < n1; ++i)
+        F[i] += A[nn + N] * pf * std::polar(1.0, nn * om1 * x1[i]);
+      for (std::size_t j = 0; j < n2; ++j)
+        G[j] += A[nn + N] * pg * std::polar(1.0, -nn * om1 * x2[j]);
+    }
+    for (std::size_t i = 0; i < n1; ++i)
+      for (std::size_t j = 0; j < n2; ++j)
+        out[i * n2 + j] += B[m + N] * std::real(F[i] * G[j]);
   }
 }
 

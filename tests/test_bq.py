@@ -1010,17 +1010,29 @@ def test_periodic_small_period_floor():
     # harmonic hardening: small w raises the floor quadratically
     assert bqm.periodic_gh_floor((h, 0.25, p), 1.0) == 8192
 
-    # API warning at init (and not for benign periods)
+    # API warnings at init. The GH floor now governs only the float32 V[Z]
+    # bilinear form (f64 periodic routes through the Jacobi–Anger closed
+    # forms, which small periods make CONVERGE FASTER): an f64 init at the
+    # hostile period must stay silent, an f32 one must warn.
     x = np.linspace(-2.0, 2.0, 9)
     l = np.exp(np.cos(x)) + 0.01
-    with pytest.warns(UserWarning, match="GH nodes"):
-        tpubq.BQ(x, l, kernel="periodic", n_candidate=6, candidate_thresh=0.2,
-                 x_mean=0.0, x_var=1.0, max_obs=16).init(
-            params_tl=(h, w, p), params_l=(h, w, p))
+    kw = dict(kernel="periodic", n_candidate=6, candidate_thresh=0.2,
+              x_mean=0.0, x_var=1.0, max_obs=16)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        tpubq.BQ(x, l, kernel="periodic", n_candidate=6, candidate_thresh=0.2,
-                 x_mean=0.0, x_var=1.0, max_obs=16).init(
+        tpubq.BQ(x, l, **kw).init(params_tl=(h, w, p), params_l=(h, w, p))
+    with pytest.warns(UserWarning, match="GH nodes"):
+        tpubq.BQ(x, l, dtype="float32", **kw).init(
+            params_tl=(h, w, p), params_l=(h, w, p))
+    # the series truncation has its own (period-independent) floor in w:
+    # n_series < 8.5/w + 8 warns in either dtype
+    assert bqm.periodic_series_floor((1.0, 0.1, 1.0)) == 93
+    with pytest.warns(UserWarning, match="harmonics"):
+        tpubq.BQ(x, l, **kw).init(
+            params_tl=(1.0, 0.1, 1.0), params_l=(1.0, 0.1, 1.0))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tpubq.BQ(x, l, **kw).init(
             params_tl=(1.0, 1.0, 4.0), params_l=(1.0, 1.0, 4.0))
 
 

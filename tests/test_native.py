@@ -100,3 +100,26 @@ def test_esm_grid_oracle_matches_jax():
     )
     want = np.asarray(acquire.expected_squared_mean(st, bq.options, grid))
     np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_int_K_periodic_oracle():
+    """Periodic single integral vs the C++ oracle (std::cyl_bessel_i — a
+    stdlib Bessel, sharing no numerical code with ive_series' Miller
+    recurrence)."""
+    got = native.int_K_periodic(X1, 1.3, 0.45, 0.8, MU, S2, nterms=64)
+    want = np.asarray(igr.int_K_periodic(
+        jnp.asarray(X1)[:, None], 1.3, 0.45, 0.8,
+        jnp.asarray([MU]), jnp.asarray([[S2]]), 64))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_int_int_K1_K2_periodic_oracle():
+    """The periodic V[Z] workhorse vs the C++ oracle, independent (h, w, p)
+    per kernel."""
+    t1 = (0.9, 0.5, 1.1)
+    t2 = (1.2, 0.4, 0.7)
+    got = native.int_int_K1_K2_periodic(X1, X2, t1, t2, MU, S2, nterms=80)
+    want = np.asarray(igr.int_int_K1_K2_periodic(
+        jnp.asarray(X1)[:, None], jnp.asarray(X2)[:, None], t1, t2,
+        jnp.asarray([MU]), jnp.asarray([[S2]]), 80))
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-15)

@@ -370,3 +370,30 @@ def test_matern_2d_mixture_f32():
     bq.add_observation(xn, float(stats.multivariate_normal.pdf(
         np.asarray(xn).reshape(2), np.zeros(2), np.eye(2) * 0.4)))
     assert np.isfinite(float(bq.Z_mean()))
+
+
+def test_periodic_series_f32():
+    """The Jacobi-Anger harmonic path (integrals.int_K_periodic +
+    ive_series' in-trace Miller recurrence with f32 rescale thresholds)
+    compiled and run in f32 on device: periodic Z_mean/ESM route through
+    the series on BOTH dtypes (round 4, PARITY addendum (m)). Pins the
+    estimate against the f64 CPU twin's value band and runs one active
+    step + a hyper marginalization (traced z under vmap)."""
+    x = np.linspace(-2.0, 2.0, 9, dtype=np.float32)
+    l = (np.exp(np.cos(2.0 * x)) / 8.0 + 0.05).astype(np.float32)
+    bq = tpubq.BQ(x, l, kernel="periodic", n_candidate=8,
+                  candidate_thresh=0.2, x_mean=0.0, x_var=1.0, max_obs=16,
+                  dtype="float32")
+    bq.init(params_tl=(0.7, 0.8, 1.0), params_l=(0.35, 0.8, 1.0))
+    zm = float(bq.Z_mean())
+    # f64 CPU reference for this exact setup: 0.22434 (the f32 pipeline's
+    # fidelity is bounded by the Gram's conditioning, not the series)
+    assert abs(zm - 0.22434) / 0.22434 < 5e-3, zm
+    assert float(bq.Z_var()) >= 0.0
+    grid = np.linspace(-3, 3, 201, dtype=np.float32)
+    xn = bq.choose_next(grid, seed=0)
+    bq.add_observation(xn, float(np.exp(np.cos(
+        2.0 * np.asarray(xn).reshape(()))) / 8.0 + 0.05))
+    zms, zvs = bq.marginalize(n=4, params=("h", "w"), seed=2)
+    assert np.all(np.isfinite(np.asarray(zms)))
+    assert np.all(np.asarray(zvs) >= 0.0)

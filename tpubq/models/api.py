@@ -118,29 +118,43 @@ class BQ:
         return self
 
     def _warn_periodic_resolution(self):
-        """Periodic kernels integrate over the measure by GH quadrature whose
-        node count (opts.n_gh) is a static compile shape — it cannot adapt to
-        the (traced) period inside jit. Host-side, where θ IS concrete (init
-        and fit), warn when the current hypers oscillate faster than n_gh
-        resolves (measured validity rule: bq.py::periodic_gh_floor)."""
+        """Periodic resolution is set by static compile shapes that cannot
+        adapt to the (traced) hypers inside jit — warn host-side, where θ IS
+        concrete (init and fit), when the current hypers exceed them:
+
+        * every periodic estimate uses the Jacobi–Anger closed forms,
+          truncated at opts.n_series — machine-exact while
+          n_series ≥ 8.5/w + 8 (bq.py::periodic_series_floor);
+        * the float32 V[Z] additionally goes through the GH bilinear form
+          (cancellation stability), whose node count opts.n_gh must resolve
+          the oscillation (bq.py::periodic_gh_floor)."""
         if self.options.kernel != "periodic" or self._state is None:
             return
-        st = self._state
-        need = max(
-            bqm.periodic_gh_floor(np.asarray(st.gp_log_l.theta), np.asarray(st.x_var)),
-            bqm.periodic_gh_floor(np.asarray(st.gp_l.theta), np.asarray(st.x_var)),
-        )
-        if self.options.n_gh < need:
-            import warnings
+        import warnings
 
+        st = self._state
+        thetas = (np.asarray(st.gp_log_l.theta), np.asarray(st.gp_l.theta))
+        need_s = max(bqm.periodic_series_floor(t) for t in thetas)
+        if self.options.n_series < need_s:
             warnings.warn(
-                f"periodic kernel with period/length-scale this small needs "
-                f"~{need} GH nodes over the measure for converged Z estimates; "
-                f"n_gh={self.options.n_gh} is below that floor — pass "
-                f"n_gh={need} (estimates may carry O(>1e-6) quadrature error "
-                f"until then)",
+                f"periodic kernel with a within-period length-scale this "
+                f"small needs ~{need_s} harmonics for machine-exact closed-"
+                f"form Z estimates; n_series={self.options.n_series} is "
+                f"below that floor — pass n_series={need_s}",
                 stacklevel=3,
             )
+        if self.options.dtype == "float32":
+            need = max(
+                bqm.periodic_gh_floor(t, np.asarray(st.x_var)) for t in thetas
+            )
+            if self.options.n_gh < need:
+                warnings.warn(
+                    f"float32 periodic V[Z] uses GH quadrature; a period/"
+                    f"length-scale this small needs ~{need} GH nodes but "
+                    f"n_gh={self.options.n_gh} — pass n_gh={need} (V[Z] may "
+                    f"carry large quadrature error until then)",
+                    stacklevel=3,
+                )
 
     def _key(self, seed=None):
         if seed is None:

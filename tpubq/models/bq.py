@@ -254,6 +254,25 @@ def validate_theta_values(theta, opts: BQOptions, name="theta") -> None:
         )
 
 
+def periodic_series_floor(theta) -> int:
+    """Harmonic truncation needed for machine-exact periodic closed forms.
+
+    The Jacobi–Anger coefficients a_n = e^{−z} I_n(z), z = 1/w², decay like
+    a Gaussian of width √z in n; the series tail drops below f64 resolution
+    at n ≳ 8.5·√z (measured across w ∈ [0.1, 1], periods p ∈ [0.04, 20]:
+    every probe at this floor is ≤ 8e-13, most ≤ 5e-16 —
+    tests/test_periodic_exact.py). Period-independent worst case: a LARGE
+    period gets no damping from the measure's characteristic function; a
+    small one truncates harder than this bound. Host-side only (like
+    `periodic_gh_floor`): n_series is a static shape, so the API layer
+    warns when opts.n_series is below this floor for the current hypers.
+    """
+    import numpy as np
+
+    w = float(np.asarray(theta, dtype=np.float64).ravel()[1])
+    return int(np.ceil(8.5 / w)) + 8
+
+
 def periodic_gh_floor(theta, x_var) -> int:
     """Measured GH node requirement for a periodic kernel over N(·, x_var).
 
@@ -269,7 +288,11 @@ def periodic_gh_floor(theta, x_var) -> int:
 
     Host-side only: node count is a static shape, so the jitted quadrature
     cannot adapt to a traced θ — the API layer warns when opts.n_gh is
-    below this floor (BQ._warn_periodic_resolution).
+    below this floor (BQ._warn_periodic_resolution). Since the Jacobi–Anger
+    closed forms landed (round 4) this rule governs ONLY the float32 V[Z]
+    bilinear form (the one periodic path still on GH — the closed-form
+    assembly's cancellation exceeds f32); every other periodic estimate
+    uses the series, whose floor is `periodic_series_floor`.
     """
     import numpy as np
 
@@ -570,6 +593,19 @@ def int_K_measure(state: BQState, opts: BQOptions, theta, x) -> jnp.ndarray:
         # at ~64-80 gaussian evals per point instead of 48^d kernel evals.
         nu = 2.5 if opts.kernel == "matern52" else 1.5
         return igr.int_K_matern_mixture(x, h, w, state.x_mean, state.x_var, nu)
+    if opts.kernel == "periodic":
+        # Jacobi–Anger harmonic series (ops/integrals.py::int_K_periodic):
+        # exact once truncated (machine precision at n_series ≥ 8.5/w + 8 —
+        # `periodic_series_floor`), and it converges FASTER as the period
+        # shrinks (the measure's characteristic function damps harmonic n by
+        # e^{−n²σ²/(2p²)}), i.e. exactly where the GH rule it supersedes
+        # needed 32·(σ/(p·w))² nodes. Real-algebra positive-sum form — safe
+        # on the f32 TPU path too (superseded GH for BOTH dtypes here; the
+        # f32 V[Z] bilinear form keeps GH for its cancellation stability).
+        return igr.int_K_periodic(
+            x, theta[0], theta[1], theta[2], state.x_mean, state.x_var,
+            opts.n_series,
+        )
     kfn, _ = get_kernel(opts.kernel)
     if opts.dim > 3:  # tensor-product GH explodes; Halton QMC instead
         nodes, gw = _qmc_nodes(state, opts, opts.n_qmc)
@@ -630,12 +666,21 @@ def _z_var_dispatch(opts: BQOptions):
       superseded the 512-node 1-D / 48-per-axis GH cusp floors, which were
       quadrature-bound at ~5e-4 — the one estimator that missed the 1e-6
       contract (VERDICT r3 missing #3).
-    - float64 periodic/rq: GH/QMC quadrature (both kernels are C^∞ so GH
-      converges spectrally; no closed form exists).
+    - float64 periodic: the same closed-form assembly over the Jacobi–Anger
+      harmonic integrals (ops/integrals.py int_*_periodic — exact once
+      truncated; round 4, superseding the GH path whose node floor grew as
+      32·(σ/(p·w))² for small periods).
+    - float64 rq: GH/QMC quadrature (C^∞, so GH converges spectrally; no
+      closed form wired — rq's Gamma scale-mixture is exact but its mixing
+      density depends on the traced shape α, unlike Matérn's static ν).
     """
     if opts.dtype == "float32":
         return _z_var_gh_terms if opts.dim <= 3 else _z_var_qmc_terms
-    if opts.kernel == "gaussian" or opts.kernel.startswith("matern"):
+    if (
+        opts.kernel == "gaussian"
+        or opts.kernel.startswith("matern")
+        or opts.kernel == "periodic"
+    ):
         return Z_var_exact_terms
     return _z_var_qmc_terms if opts.dim > 3 else _z_var_gh_terms
 
@@ -699,6 +744,20 @@ def Z_var_exact_terms(state: BQState, opts: BQOptions):
             x_sc, x_sc, h_l, w_l, h_tl, w_tl, mu, Sig, nu)
         U = igr.int_K1_int_K2_matern(
             x_sc, h_l, w_l, h_tl, w_tl, mu, Sig, nu)
+    elif opts.kernel == "periodic":
+        # Jacobi–Anger harmonic closed forms (ops/integrals.py
+        # int_*_periodic): exact once truncated at opts.n_series; the two
+        # GPs carry independent (h, w, p) — including different periods.
+        th_l = (state.gp_l.theta[0], state.gp_l.theta[1], state.gp_l.theta[2])
+        th_tl = (state.gp_log_l.theta[0], state.gp_log_l.theta[1],
+                 state.gp_log_l.theta[2])
+        ns = opts.n_series
+        x_sc = state.x_sc
+        q = igr.int_K_periodic(state.x_s, *th_tl, mu, Sig, ns) * m_s
+        Q = igr.int_int_K_periodic(*th_tl, mu, Sig, ns)
+        P = igr.int_K1_K2_periodic(x_sc, state.x_s, th_l, th_tl, mu, Sig, ns)
+        T = igr.int_int_K1_K2_periodic(x_sc, x_sc, th_l, th_tl, mu, Sig, ns)
+        U = igr.int_K1_int_K2_periodic(x_sc, th_l, th_tl, mu, Sig, ns)
     else:
         q = igr.int_K(state.x_s, h_tl, w_tl, mu, Sig) * m_s
         Q = igr.int_int_K(opts.dim, h_tl, w_tl, mu, Sig)

@@ -36,6 +36,12 @@ __all__ = [
     "int_K_matern32_1d",
     "int_K_matern_mixture",
     "erfcx",
+    "ive_series",
+    "int_K_periodic",
+    "int_int_K_periodic",
+    "int_K1_K2_periodic",
+    "int_int_K1_K2_periodic",
+    "int_K1_int_K2_periodic",
     "int_int_K",
     "int_K1_K2",
     "int_int_K1_K2",
@@ -622,6 +628,205 @@ def int_K1_int_K2_matern(x1, h1, w1, h2, w2, mu, Sigma, nu):
 
     vals = jax.vmap(per_node)(s2s)  # (n_mix, n1)
     return wq @ vals
+
+
+# ---------------------------------------------------------------------------
+# Periodic-kernel measure integrals via the Jacobi–Anger expansion (1-D; the
+# periodic kernel is 1-D only — models/bq.py::validate_theta). The reference
+# ships a periodic kernel (gp/kernels/periodic.py) but no periodic measure
+# integrals; within tpubq these supersede the Gauss–Hermite quadrature floors
+# that previously served periodic Z/ESM estimates — GH needed
+# n ≥ 32·(σ/(p·min(1,w)))² nodes to resolve a period p under a measure of
+# scale σ (the round-4 `periodic_gh_floor` warning), while the series below
+# is EXACT-once-truncated and converges FASTER as p shrinks (the very regime
+# that defeats GH).
+#
+# Identity chain. tpubq's periodic kernel (ops/kernels.py::periodic_K):
+#
+#     k(δ) = h² exp(−2 sin²(δ/(2p))/w²) = h² e^{−z} e^{z cos(ωδ)},
+#     z = 1/w²,  ω = 1/p                     (2 sin²(u/2) = 1 − cos u)
+#
+# Jacobi–Anger:  e^{z cos t} = I₀(z) + 2 Σ_{n≥1} I_n(z) cos(nt), so with the
+# scaled Bessel coefficients a_n = e^{−z} I_n(z) (Σ-identity a₀ + 2Σa_n = 1):
+#
+#     k(δ) = h² Σ_{n=−N}^{N} a_{|n|} e^{inωδ}        (truncated at N)
+#
+# Every Gaussian-measure integral then reduces to characteristic-function
+# evaluations  φ(t) = E[e^{itx}] = e^{itμ − t²σ²/2}  — closed form, with the
+# φ factors damping high harmonics as e^{−n²ω²σ²/2}: a SMALL period (large ω)
+# truncates the series harder. The only approximation is the Bessel tail
+# beyond N, which decays like a Gaussian of width √z in n — machine precision
+# at N ≳ 8.5·√z + 8 = 8.5/w + 8 (measured; models/bq.py::periodic_series_floor).
+# ---------------------------------------------------------------------------
+
+
+def ive_series(z, n: int) -> jnp.ndarray:
+    """Scaled modified Bessel a_k = e^{−z} I_k(z) for k = 0..n, traced z.
+
+    Miller's backward recurrence (I_{k−1} = I_{k+1} + (2k/z) I_k, run from a
+    start index M = n + 12 + n/4 with seed (0, 1)), self-normalized by the
+    identity I₀ + 2 Σ_{k≥1} I_k = e^z ⇒ a₀ + 2 Σ a_k = 1. In-trace and
+    vmappable (z may be a tracer — hyperparameter samples vary w = 1/√z), so
+    overflow control is data-flow: the carry rescales by `factor` whenever it
+    exceeds `thresh`, each emission records its rescale generation, and the
+    final pass brings every term to the last generation's frame (high-order
+    terms underflow to exact zeros there — they are genuinely negligible).
+    Thresholds are dtype-aware (f64: 1e250 rungs; f32: 1e30 — f32 must also
+    clamp z ≥ 1e-6 so the per-step multiplier 2M/z cannot jump the carry past
+    the dtype max between checks; at z ≤ 1e-6 the kernel is constant to 2e-6,
+    below f32 resolution, so the clamp is lossless). Validated against
+    scipy.special.ive to ≤3e-16 over z ∈ [0.01, 100] (tests).
+    """
+    from jax import lax
+
+    dtype = jnp.result_type(z)
+    f64 = dtype == jnp.dtype(jnp.float64)
+    thresh = 1e250 if f64 else 1e30
+    factor = 1e-250 if f64 else 1e-30
+    zc = jnp.maximum(jnp.asarray(z, dtype), 1e-10 if f64 else 1e-6)
+    m = n + n // 2 + 16  # static start: Miller's seed error enters as the
+    # tail ratio I_m/I_n ≈ e^{−(m²−n²)/(2z)}, which must sit below f64
+    # resolution for every z inside the series' own validity ceiling
+    # z ≤ ((n−8)/8.5)² (periodic_series_floor). With m = 1.5n + 16,
+    # (m²−n²)/(2z) ≥ 1.25n²/(2z) ≥ 37 at the ceiling — ≤1e-16 seed error
+    # wherever the truncated series itself is exact.
+    ks = jnp.arange(m, 0, -1, dtype=dtype)
+
+    def step(carry, k):
+        p_next, p_cur, c = carry
+        p_prev = p_next + (2.0 * k / zc) * p_cur
+        resc = p_prev > thresh
+        f = jnp.where(resc, jnp.asarray(factor, dtype), jnp.asarray(1.0, dtype))
+        c2 = c + resc.astype(jnp.int32)
+        return (p_cur * f, p_prev * f, c2), (p_prev * f, c2)
+
+    init = (jnp.zeros((), dtype), jnp.ones((), dtype), jnp.zeros((), jnp.int32))
+    (_, _, c_fin), (ps, cs) = lax.scan(step, init, ks)
+    # emissions are p_{m−1}..p_0 (each in its own frame); bring to the final
+    # frame and normalize. p_m (the seed, frame 0) is negligible by design.
+    vals = ps[::-1] * jnp.power(
+        jnp.asarray(factor, dtype), (c_fin - cs[::-1]).astype(dtype)
+    )  # index k = 0..m−1
+    total = vals[0] + 2.0 * jnp.sum(vals[1:])
+    return vals[: n + 1] / total
+
+
+def _periodic_zom(h, w, p):
+    return (h * h), 1.0 / (w * w), 1.0 / p
+
+
+def _per_coeffs(h, w, p, n_series, dtype):
+    """(h², harmonics 1..N, a_0..a_N) of one periodic kernel."""
+    h2, z, om = _periodic_zom(h, w, p)
+    a = ive_series(jnp.asarray(z, dtype), n_series)
+    n = jnp.arange(1, n_series + 1, dtype=dtype)
+    return h2, om, n, a
+
+
+def _sigma1(mu, Sigma):
+    mu0 = jnp.reshape(mu, ())
+    s2 = jnp.reshape(Sigma, ())
+    return mu0, s2
+
+
+def int_K_periodic(x, h, w, p, mu, Sigma, n_series: int) -> jnp.ndarray:
+    """∫ k_per(x', x_i) N(x' | μ, σ²) dx' → (n,).
+
+    h² [a₀ + 2 Σ_n a_n e^{−n²ω²σ²/2} cos(nω(x_i − μ))] — real algebra only,
+    stable in f32 (the φ damping kills every harmonic whose angle-reduction
+    error could matter).
+    """
+    dtype = x.dtype
+    h2, om, n, a = _per_coeffs(h, w, p, n_series, dtype)
+    mu0, s2 = _sigma1(mu, Sigma)
+    damp = jnp.exp(-0.5 * (n * om) ** 2 * s2)  # (N,)
+    ang = (x[:, 0] - mu0)[:, None] * (n * om)[None, :]  # (npts, N)
+    return h2 * (a[0] + 2.0 * (jnp.cos(ang) @ (a[1:] * damp)))
+
+
+def int_int_K_periodic(h, w, p, mu, Sigma, n_series: int) -> jnp.ndarray:
+    """∫∫ k_per(x, x') p(x) p(x') dx dx' → scalar.
+
+    x − x' ~ N(0, 2σ²) under p × p: h² [a₀ + 2 Σ a_n e^{−n²ω²σ²}].
+    """
+    del mu
+    dtype = jnp.result_type(Sigma)
+    h2, om, n, a = _per_coeffs(h, w, p, n_series, dtype)
+    s2 = jnp.reshape(Sigma, ())
+    return h2 * (a[0] + 2.0 * jnp.sum(a[1:] * jnp.exp(-((n * om) ** 2) * s2)))
+
+
+def _per_full_range(h, w, p, n_series, dtype):
+    """Full-range harmonic table: A_n = h² a_{|n|}, n = −N..N, plus nω."""
+    h2, om, _, a = _per_coeffs(h, w, p, n_series, dtype)
+    nn = jnp.arange(-n_series, n_series + 1, dtype=dtype)
+    A = h2 * a[jnp.abs(nn).astype(jnp.int32)]
+    return nn * om, A
+
+
+def _phi(t, mu0, s2):
+    """Gaussian characteristic function E[e^{itx}] = e^{itμ − t²σ²/2}."""
+    return jnp.exp(jnp.asarray(1j) * t * mu0 - 0.5 * t * t * s2)
+
+
+def int_K1_K2_periodic(x1, x2, t1, t2, mu, Sigma, n_series: int):
+    """∫ k1(x1_i, x) k2(x, x2_j) N(x | μ, σ²) dx → (n1, n2), both periodic.
+
+    Σ_{n,m} A_n B_m e^{i n ω₁ x1_i} φ(mω₂ − nω₁) e^{−i m ω₂ x2_j} — two
+    small complex matmuls (E1ᵀ · diag-weighted Φ · E2), real part. Exact for
+    independent hyperparameters (h, w, p) on each side, including different
+    periods. f64 path only (complex128; the f32 V[Z] route stays quadrature).
+    """
+    dtype = x1.dtype
+    t1f, A = _per_full_range(*t1, n_series, dtype)  # (2N+1,) each
+    t2f, B = _per_full_range(*t2, n_series, dtype)
+    mu0, s2 = _sigma1(mu, Sigma)
+    Phi = _phi(t2f[None, :] - t1f[:, None], mu0, s2)  # (2N+1, 2M+1)
+    E1 = jnp.exp(jnp.asarray(1j) * jnp.outer(t1f, x1[:, 0]))  # (2N+1, n1)
+    E2c = jnp.exp(jnp.asarray(-1j) * jnp.outer(t2f, x2[:, 0]))  # (2M+1, n2)
+    return jnp.real(jnp.einsum("ni,nm,mj->ij", A[:, None] * E1, Phi,
+                               B[:, None] * E2c))
+
+
+def int_int_K1_K2_periodic(x1, x2, t1, t2, mu, Sigma, n_series: int):
+    """∫∫ k1(x1_a, x) k2(x, x') k1(x', x2_b) p(x) p(x') dx dx' → (n1, n2).
+
+    The V[Z] workhorse with both kernels periodic. The inner kernel's
+    harmonic m couples the two integrals, but for FIXED m the x- and
+    x'-integrals factorize, so the triple sum collapses to a rank-per-
+    harmonic form (no O(N³) sweep):
+
+        T_ab = Σ_m B_m F_{m,a} G_{m,b}
+        F_{m,a} = Σ_n A_n φ(mω₂ − nω₁) e^{inω₁ x1_a}
+        G_{m,b} = Σ_n A_n φ(nω₁ − mω₂) e^{−inω₁ x2_b}
+
+    — two (2N+1 × 2M+1) complex matmuls plus the final contraction.
+    """
+    dtype = x1.dtype
+    t1f, A = _per_full_range(*t1, n_series, dtype)
+    t2f, B = _per_full_range(*t2, n_series, dtype)
+    mu0, s2 = _sigma1(mu, Sigma)
+    dgrid = t2f[None, :] - t1f[:, None]  # (2N+1, 2M+1) = mω₂ − nω₁
+    E1 = jnp.exp(jnp.asarray(1j) * jnp.outer(t1f, x1[:, 0]))  # (2N+1, n1)
+    E2c = jnp.exp(jnp.asarray(-1j) * jnp.outer(t1f, x2[:, 0]))  # (2N+1, n2)
+    F = jnp.einsum("nm,na->ma", _phi(dgrid, mu0, s2), A[:, None] * E1)
+    G = jnp.einsum("nm,nb->mb", _phi(-dgrid, mu0, s2), A[:, None] * E2c)
+    return jnp.real(jnp.einsum("m,ma,mb->ab", B.astype(F.dtype), F, G))
+
+
+def int_K1_int_K2_periodic(x1, t1, t2, mu, Sigma, n_series: int):
+    """∫∫ k1(x1_a, x) k2(x, x') p(x) p(x') dx dx' → (n1,), both periodic.
+
+    Σ_{n,m} A_n B_m φ(mω₂ − nω₁) φ(−mω₂) e^{inω₁ x1_a}.
+    """
+    dtype = x1.dtype
+    t1f, A = _per_full_range(*t1, n_series, dtype)
+    t2f, B = _per_full_range(*t2, n_series, dtype)
+    mu0, s2 = _sigma1(mu, Sigma)
+    Phi = _phi(t2f[None, :] - t1f[:, None], mu0, s2)
+    E1 = jnp.exp(jnp.asarray(1j) * jnp.outer(t1f, x1[:, 0]))
+    inner = Phi @ (B * _phi(-t2f, mu0, s2))  # (2N+1,)
+    return jnp.real(jnp.einsum("na,n->a", E1, A * inner))
 
 
 # ---------------------------------------------------------------------------

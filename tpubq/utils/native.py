@@ -45,6 +45,15 @@ _SIG = {
     ),
     "bq_int_K1_int_K2": ([_f8, _f8, ctypes.c_size_t] + [ctypes.c_double] * 6, None),
     "bq_improve_conditioning": ([_f8, _f8, ctypes.c_size_t], ctypes.c_double),
+    "bq_int_K_periodic": (
+        [_f8, _f8, ctypes.c_size_t] + [ctypes.c_double] * 5 + [ctypes.c_int],
+        None,
+    ),
+    "bq_int_int_K1_K2_periodic": (
+        [_f8, _f8, ctypes.c_size_t, _f8, ctypes.c_size_t]
+        + [ctypes.c_double] * 8 + [ctypes.c_int],
+        None,
+    ),
     "bq_esm_grid": (
         [_f8, _f8, ctypes.c_size_t, _f8, ctypes.c_size_t, _f8, _f8, _f8,
          ctypes.c_size_t, _f8, _f8] + [ctypes.c_double] * 8,
@@ -136,6 +145,23 @@ def int_K1_int_K2(x1, h1, w1, h2, w2, mu, s2):
     x1 = _c(x1)
     out = np.empty_like(x1)
     _load().bq_int_K1_int_K2(out, x1, x1.size, h1, w1, h2, w2, mu, s2)
+    return out
+
+
+def int_K_periodic(x, h, w, p, mu, s2, nterms=64):
+    x = _c(x)
+    out = np.empty_like(x)
+    _load().bq_int_K_periodic(out, x, x.size, h, w, p, mu, s2, nterms)
+    return out
+
+
+def int_int_K1_K2_periodic(x1, x2, t1, t2, mu, s2, nterms=64):
+    x1, x2 = _c(x1), _c(x2)
+    out = np.empty((x1.size, x2.size))
+    _load().bq_int_int_K1_K2_periodic(
+        out, x1, x1.size, x2, x2.size, t1[0], t1[1], t1[2], t2[0], t2[1],
+        t2[2], mu, s2, nterms,
+    )
     return out
 
 

@@ -28,6 +28,7 @@ FIELD_NAMES = (
     "use_pallas",
     "n_gh",
     "n_qmc",
+    "n_series",
 )
 
 
@@ -48,9 +49,10 @@ class BQOptions:
       dim: input dimensionality d (reference is 1-D; closed forms here are
         general-d with diagonal kernel covariance).
       kernel: covariance kernel family: "gaussian", "periodic", "matern52",
-        "matern32", or "rq". Closed-form Z integrals exist only for
-        "gaussian"; other families use the Gauss–Hermite (d ≤ 3) / Halton
-        QMC (d > 3) measure-quadrature paths.
+        "matern32", or "rq". In float64, gaussian, matern* (Gamma-mixture)
+        and periodic (Jacobi–Anger series) all have closed-form Z integrals;
+        rq — and every family on the float32 V[Z] path — uses the
+        Gauss–Hermite (d ≤ 3) / Halton QMC (d > 3) measure quadratures.
       dtype: "float64" (default, needed for 1e-6 parity) or "float32"
         (TPU hot path).
       base_jitter: relative diagonal conditioning always added before
@@ -65,6 +67,11 @@ class BQOptions:
       n_qmc: number of quasi-Monte-Carlo (Halton) nodes for the d > 3
         quadrature paths, where the tensor-product GH rule explodes and the
         f32 closed-form V[Z] cancels catastrophically.
+      n_series: truncation order of the Jacobi–Anger harmonic series behind
+        the periodic-kernel closed-form measure integrals
+        (ops.integrals.int_K_periodic family). Machine-exact for
+        n_series ≥ 8.5/w + 8 (models.bq.periodic_series_floor); the default
+        64 covers within-period length-scales w ≥ 0.152.
     """
 
     n_candidate: int = 10
@@ -77,6 +84,7 @@ class BQOptions:
     use_pallas: bool = False
     n_gh: int = 128
     n_qmc: int = 4096
+    n_series: int = 64
 
     def __post_init__(self):
         if self.kernel not in ("gaussian", "periodic", "matern52", "matern32", "rq"):
