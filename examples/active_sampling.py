@@ -33,11 +33,12 @@ def main():
     ap.add_argument("--n-hyper", type=int, default=10)
     ap.add_argument(
         "--kernel", default="gaussian",
-        choices=["gaussian", "matern52", "matern32"],
-        help="GP kernel family. gaussian and the 1-D Matérns all run on "
-        "closed-form measure integrals (Matérn via the erfcx form in "
-        "tpubq.ops.integrals — an extension; the reference is "
-        "gaussian/periodic only)",
+        choices=["gaussian", "matern52", "matern32", "periodic"],
+        help="GP kernel family. All four run on closed-form measure "
+        "integrals in f64: gaussian directly, the 1-D Matérns via the "
+        "erfcx form, periodic via the Jacobi–Anger harmonic series "
+        "(tpubq.ops.integrals; the reference never integrated its "
+        "periodic kernel at all)",
     )
     args = ap.parse_args()
     if args.dtype is None:
@@ -51,15 +52,20 @@ def main():
         x, f_l(x), n_candidate=10, candidate_thresh=0.2, x_mean=0.0, x_var=1.0,
         dtype=args.dtype, kernel=args.kernel,
     )
-    bq.init(params_tl=(0.7, 0.8), params_l=(0.3, 0.4)).fit(seed=0)
+    # periodic carries a third hyper (the period; fixed here, the fit moves
+    # h and w — the reference freezes unlisted hypers the same way)
+    extra = (3.0,) if args.kernel == "periodic" else ()
+    bq.init(params_tl=(0.7, 0.8) + extra, params_l=(0.3, 0.4) + extra)
+    bq.fit(params=("h", "w"), seed=0)
     print(f"true Z = {z_true:.6f}")
     print(f"start : E[Z]={bq.Z_mean():.6f}  V[Z]={bq.Z_var():.3e}  ns={bq.ns}")
 
+    fit_params = ("h", "w") if args.kernel == "periodic" else None
     grid = np.linspace(-4.0, 4.0, 2001)
     for step in range(args.steps):
         x_next = bq.choose_next(grid, n=args.n_hyper, seed=step)
         bq.add_observation(x_next, float(f_l(x_next)))
-        bq.fit(seed=100 + step)
+        bq.fit(params=fit_params, seed=100 + step)
         err = abs(bq.Z_mean() - z_true) / z_true
         print(
             f"step {step}: x_next={x_next:+.3f}  E[Z]={bq.Z_mean():.6f}  "
