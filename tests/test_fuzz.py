@@ -25,10 +25,13 @@ from tpubq.utils.options import BQOptions
 # z/zeta route (integrals.int_K_matern_mixture) + the fused-mixture
 # exact V[Z]; 1-D periodic the Jacobi–Anger harmonic closed forms
 # (integrals.int_*_periodic, round 4 — periods randomized per seed,
-# including sub-lengthscale ones); the d > 2 paths (QMC etc.) are
-# pinned by dedicated tests elsewhere.
+# including sub-lengthscale ones); rq the in-trace Gamma-mixture
+# z/zeta route (integrals.int_K_rq_mixture, round 5 — α randomized per
+# seed across the validated [0.5, 128] envelope) + the GH V[Z] rule its
+# rq_gh_floor governs; the d > 2 paths (QMC etc.) are pinned by
+# dedicated tests elsewhere.
 CONFIGS = [(1, "gaussian"), (2, "gaussian"), (1, "matern52"), (2, "matern52"),
-           (1, "matern32"), (1, "periodic")]
+           (1, "matern32"), (1, "periodic"), (1, "rq"), (2, "rq")]
 SEEDS = [0, 1, 2]
 
 
@@ -90,6 +93,12 @@ def test_fuzz_invariants(d, kernel):
             p = (2.8, 2.0, 3.5)[seed % 3]
             params_tl = params_tl + (p,)
             params_l = params_l + (p,)
+        if kernel == "rq":
+            # randomized shape α across the validated mixture envelope
+            # (bq.RQ_ALPHA_FLOOR = 0.5 up to heavy-α near-gaussian)
+            a = (0.6, 2.0, 24.0)[seed % 3]
+            params_tl = params_tl + (a,)
+            params_l = params_l + (a * 1.5,)
         state = bqm.init_state(x, l, opts, params_tl=params_tl,
                                params_l=params_l)
         zm = float(bqm.Z_mean(state, opts))

@@ -90,8 +90,15 @@ JITTER_LADDER_F32 = (0.0, 1e-4)
 def posdef_cholesky(A: jnp.ndarray) -> jnp.ndarray:
     """``jnp.linalg.cholesky`` with a TPU-aware batching rule.
 
-    Unbatched it IS ``jnp.linalg.cholesky`` (including its stacked
-    semantics on a (R, n, n) input — the f32 rung stack relies on that).
+    Unbatched it computes ``jnp.linalg.cholesky``, with one twist: a SMALL
+    stacked input (R ≤ 4 leading axis — the f32 jitter-rung stack) is
+    unrolled into R separate single-matrix factorizations. XLA's TPU
+    stacked Cholesky pays a super-linear batch overhead at these sizes
+    (measured v5e, benchmarks/chol_primitives.py: (2,64,64) 17.2 µs vs
+    2 × 6.7 µs unrolled; (2,80,80) 25.7 vs 2 × 8.5) — on the single-problem
+    active-loop refit that overhead was ~40% of the whole step's
+    factorization cost. Larger stacks keep the one-call form (unrolling a
+    100-matrix marginalize batch would explode the program).
     Under ``vmap`` (the fleet / marginalize paths), XLA's batched Cholesky
     serializes one custom call per matrix (measured v5e: 285 µs at
     (100,26,26), 540 µs at (64,76,76)); the batching rule dispatches
@@ -111,7 +118,30 @@ def posdef_cholesky(A: jnp.ndarray) -> jnp.ndarray:
     directly. NaN behavior matches XLA: a non-PD matrix yields NaNs in its
     own batch entry only.
     """
+    if A.ndim == 3 and A.shape[0] <= 4:
+        return jnp.stack([jnp.linalg.cholesky(A[i]) for i in range(A.shape[0])])
     return jnp.linalg.cholesky(A)
+
+
+def _bm_flat(A):
+    """Route a flattened (BT, n, n) f32 stack to the batch-major kernel.
+
+    Returns None when the kernel does not apply (caller falls back to XLA).
+    When the multi-grid-step VMEM budget fails but a single 128-lane round
+    fits, the stack is CHUNKED into ceil(BT/128) sequential rounds — e.g.
+    a (B=256, n, n) stack that exceeds the 5-buffer budget runs as two
+    3-buffer rounds of 128 in one dispatch chain."""
+    from tpubq.ops import pallas_kernels as pk
+
+    BT, n = A.shape[0], A.shape[-1]
+    if not (A.dtype == jnp.float32 and BT >= 8 and pk.on_tpu()):
+        return None
+    if pk.bm_supported(n, BT):
+        return pk.cholesky_batch_major(A)
+    if pk.bm_supported(n, 128):
+        chunks = [A[i : i + 128] for i in range(0, BT, 128)]
+        return jnp.concatenate([pk.cholesky_batch_major(c) for c in chunks])
+    return None
 
 
 @posdef_cholesky.def_vmap
@@ -120,36 +150,29 @@ def _posdef_cholesky_vmap(axis_size, in_batched, A):
     (a_batched,) = in_batched
     if not a_batched:
         return jnp.linalg.cholesky(A), False
-    from tpubq.ops import pallas_kernels as pk
 
-    if A.ndim == 4:
-        # vmapped rung stack: fold the rung axis into the batch and run ONE
-        # batch-major round over B·R matrices
-        B, R, n = A.shape[0], A.shape[1], A.shape[-1]
-        use_bm = (
-            A.dtype == jnp.float32
-            and B * R >= 8
-            and pk.bm_supported(n, B * R)
-            and pk.on_tpu()
-        )
-        if use_bm:
-            L = pk.cholesky_batch_major(A.reshape(B * R, n, n))
+    if A.ndim >= 4:
+        # vmapped rung/pair stack (any nesting depth): fold ALL leading axes
+        # into the batch and run batch-major rounds over the flat stack
+        lead = A.shape[:-2]
+        n = A.shape[-1]
+        BT = 1
+        for s in lead:
+            BT *= s
+        L = _bm_flat(A.reshape(BT, n, n))
+        if L is not None:
             return L.reshape(A.shape), True
         return jnp.linalg.cholesky(A), True
 
-    use_bm = (
-        A.ndim == 3
-        and A.dtype == jnp.float32
-        and A.shape[0] >= 8
-        and pk.bm_supported(A.shape[-1], A.shape[0])
-        and pk.on_tpu()
-    )
     # NOTE nested vmap: a second vmap level re-enters this rule with the
-    # outer axis hidden in the trace, so use_bm can be True there too — that
-    # is fine: vmap over the pallas_call maps it across an extra grid
+    # outer axis hidden in the trace, so the kernel can be picked there too —
+    # that is fine: vmap over the pallas_call maps it across an extra grid
     # dimension (verified compiled on TPU, test_pallas.py).
-    L = pk.cholesky_batch_major(A) if use_bm else jnp.linalg.cholesky(A)
-    return L, True
+    if A.ndim == 3:
+        L = _bm_flat(A)
+        if L is not None:
+            return L, True
+    return jnp.linalg.cholesky(A), True
 
 
 def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0):
@@ -195,7 +218,12 @@ def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0)
         ]
         Ks = jnp.stack([Kp + eye_live * j for j in js])
         Ls = posdef_cholesky(Ks)
-        ok_r = jnp.all(jnp.isfinite(Ls), axis=(-2, -1))  # (n_rungs,)
+        # Diagonal-only finiteness: any non-finite L[i,j] (j<i) forces
+        # diag i non-finite (its pivot subtracts L[i,j]², and inf²/NaN
+        # both poison the sqrt), so checking the (R, n) diagonal detects
+        # every failure the full (R, n, n) reduce did at ~n× less data.
+        dg = jnp.diagonal(Ls, axis1=-2, axis2=-1)
+        ok_r = jnp.all(jnp.isfinite(dg), axis=-1)  # (n_rungs,)
         # finest finite rung wins (rung 0 is the finest)
         L, jit_used, ok = Ls[-1], js[-1], ok_r[-1]
         for i in range(len(js) - 2, -1, -1):
