@@ -73,13 +73,45 @@ def test_zvar_2d_gh_ladder_converges_to_exact(kernel):
 
 
 @pytest.mark.parametrize("kernel", ["matern52", "matern32"])
-def test_zvar_dispatch_routes_matern_f64_to_exact(kernel):
-    """f64 Matérn routes to the closed form; f32 stays on the quadrature
-    bilinear form (the closed form's cancellation exceeds f32)."""
+def test_zvar_dispatch_routes_matern_to_exact_both_dtypes(kernel):
+    """Matérn routes to the closed form in BOTH dtypes (round 5: the f32
+    GH cusp floor measured 1.6e-3…2e-1 across widths while the closed
+    form stays ≤ 7.5e-5 wherever V[Z] is f32-resolvable —
+    benchmarks/matern_zvar_matrix.py)."""
     o64 = BQOptions(kernel=kernel, dim=1, n_candidate=8, candidate_thresh=0.2)
     assert bqm._z_var_dispatch(o64) is bqm.Z_var_exact_terms
     o32 = dataclasses.replace(o64, dtype="float32")
-    assert bqm._z_var_dispatch(o32) is bqm._z_var_gh_terms
+    assert bqm._z_var_dispatch(o32) is bqm.Z_var_exact_terms
+    # gaussian f32 keeps the spectrally-converged GH bilinear form
+    og = dataclasses.replace(o32, kernel="gaussian")
+    assert bqm._z_var_dispatch(og) is bqm._z_var_gh_terms
+
+
+@pytest.mark.parametrize("d", [1, 2])
+@pytest.mark.parametrize("w", [0.8, 0.2, 0.1])
+def test_zvar_matern_f32_meets_1e4_across_widths(d, w):
+    """The round-5 dispatch change's contract: f32 Matérn V[Z] ≤ ~1e-4 rel
+    of the f64 exact value across kernel widths — including the narrow
+    widths where the old GH floor read 1.6e-3 (1-D w=0.2 @512 nodes) to
+    4.6e-1 (2-D w=0.1 @128/axis). Measured matrix in
+    benchmarks/matern_zvar_matrix.py."""
+    rng = np.random.RandomState(0)
+    X = np.sort(rng.uniform(-2.5, 2.5, (10, d)), axis=0)
+    L = np.exp(-0.5 * np.sum((X - 0.2) ** 2, -1) / 0.25)
+
+    def build(dtype):
+        opts = BQOptions(kernel="matern52", dim=d, n_candidate=12,
+                         candidate_thresh=min(0.2, w / 2), dtype=dtype)
+        st = bqm.init_state(X, L, opts, params_tl=(0.7,) + (w,) * d,
+                            params_l=(0.3,) + (w / 2,) * d,
+                            x_mean=np.zeros(d), x_var=np.eye(d))
+        return st, opts
+
+    st64, o64 = build("float64")
+    ref = float(bqm.Z_var(st64, o64))
+    st32, o32 = build("float32")
+    v32 = float(bqm.Z_var(st32, o32))
+    assert abs(v32 - ref) / ref < 2e-4, (v32, ref)
 
 
 @pytest.mark.parametrize("kernel", ["matern52", "matern32"])

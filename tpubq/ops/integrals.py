@@ -113,16 +113,82 @@ def int_K(x, h, w, mu, Sigma):
     return _scale(h, w) * jnp.exp(gauss_logpdf(x, mu, _W(w) + Sigma))
 
 
+#: f32 Chebyshev auxiliaries (round 5). Motivation — measured on the v5e:
+#: the TPU's f32 `erfc` carries 3–14e-6 relative error (vs ~1e-7 on CPU)
+#: and its `exp` ~2e-6, so the exp·erfc erfcx below injects ~6e-6 into the
+#: Matérn closed-form singles, which the V[Z] assembly's cancellation then
+#: amplified to a 12% error (the same program reads 1e-3 on CPU f32).
+#: These fits are evaluated by Clenshaw recurrences in plain f32 mul/adds
+#: (platform-exact — no transcendental library calls), restoring ~1e-7:
+#: - _ERFCX_CHEB: g(u) = erfcx(u)·(1 + 2u/√π) in t = (u−2)/(u+2) ∈ [−1, 1)
+#:   covering u ∈ [0, ∞); f32 eval ≤ 1.2e-7 rel (validated vs scipy).
+#: - _F1_CHEB / _F2_CHEB: the Mills-ratio complements of _int_K_matern_1d,
+#:   F1(α) = 1 − αR(α) and F2(α) = (1+α²)R(α) − α with R the standard
+#:   normal Mills ratio, as bounded auxiliaries (1+α²)F1 and (2+α³)F2/2 in
+#:   s = α/6 − 1 over α ∈ [0, 12]; f32 eval ≤ 3.4e-7 / 5.9e-7 rel. These
+#:   replace the f32 direct/asymptotic crossover whose direct branch
+#:   amplified input noise by ~α² over the α ∈ [0, 6) band.
+_ERFCX_CHEB = (
+    8.2795514040283980e-01, -1.9573787691330269e-01, -6.8284124563613852e-03,
+    1.4124564819029156e-02, -2.9150593136806134e-03, -7.7569528509570691e-05,
+    1.0217740786959869e-04, 9.6073027852599973e-07, -4.1327910094376081e-06,
+    -2.1745332359733583e-07, 1.7941956551717353e-07, 2.6676682281496646e-08,
+    -6.5575648651772945e-09,
+)
+_F1_CHEB = (
+    9.0697100663526031e-01, 1.0808025887380955e-01, -2.0641794894942188e-02,
+    -3.1246544562489067e-02, 4.8924071334601443e-02, -4.6364353671299950e-02,
+    3.5841259043470255e-02, -2.4525057080265530e-02, 1.5401423939274385e-02,
+    -9.0544974286826188e-03, 5.0455535167581956e-03, -2.6875378266193123e-03,
+    1.3767051270831372e-03, -6.8132977866146988e-04, 3.2693092072991556e-04,
+    -1.5253907843837115e-04, 6.9366951538234965e-05, -3.0805048412982499e-05,
+    1.3381681499386921e-05, -5.6942831870198595e-06, 2.3765405449261400e-06,
+    -9.7387313701961196e-07, 3.9221742378352345e-07, -1.5538052107493575e-07,
+    6.0594936812565496e-08, -2.3280017144523623e-08, 8.8155524771129735e-09,
+)
+_F2_CHEB = (
+    8.3883377003486781e-01, 1.2847196583842588e-01, 5.2593205744496323e-02,
+    -1.3039781241954970e-01, 1.3139911884272656e-01, -9.9523178630157777e-02,
+    6.3648966354373185e-02, -3.5833612213943732e-02, 1.8012980684947947e-02,
+    -8.0448098734394718e-03, 3.0878187167689506e-03, -9.0585960569216815e-04,
+    8.5429929178327269e-05, 1.4578425564798917e-04, -1.6070750521851766e-04,
+    1.1761541316780905e-04, -7.3016760199505918e-05, 4.1166560763753485e-05,
+    -2.1709368887370796e-05, 1.0878988945571889e-05, -5.2305665917719197e-06,
+    2.4283546579951329e-06, -1.0935951255589405e-06, 4.7935511324476047e-07,
+    -2.0504871578015308e-07, 8.5776512592994033e-08, -3.5150938452998066e-08,
+    1.4131569502928587e-08, -5.5801763485730284e-09, 2.1666974994536749e-09,
+    -8.2794920586581966e-10,
+)
+
+
+def _clenshaw(coeffs, t):
+    """Chebyshev series Σ c_k T_k(t) by the Clenshaw recurrence (f32-exact
+    mul/adds only)."""
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for ck in coeffs[:0:-1]:
+        b1, b2 = 2.0 * t * b1 - b2 + ck, b1
+    return t * b1 - b2 + coeffs[0]
+
+
 def erfcx(u):
     """Scaled complementary error function e^{u²} erfc(u), for u ≥ 0.
 
-    Not in jax.scipy.special. Direct product below u = 9 (e^{81} ≈ 1.5e35 is
-    representable even in f32); 10-term asymptotic series above (relative
-    error ≤ (19)!!/(2u²)^10 ≈ 5e-14 at the crossover, shrinking with u).
-    The unused branch of the `where` is made inf/NaN-free on both sides so
-    gradients pass through cleanly.
+    Not in jax.scipy.special. float64: direct product below u = 9
+    (e^{81} ≈ 1.5e35 is representable even in f32); 10-term asymptotic
+    series above (relative error ≤ (19)!!/(2u²)^10 ≈ 5e-14 at the
+    crossover, shrinking with u). The unused branch of the `where` is made
+    inf/NaN-free on both sides so gradients pass through cleanly.
+    float32: a deg-12 Chebyshev fit of erfcx(u)·(1+2u/√π) in
+    t = (u−2)/(u+2) — ≤1.2e-7 rel over all u ≥ 0 and free of `erfc`/`exp`
+    library calls, whose TPU f32 implementations carry 2–14e-6 relative
+    noise (see _ERFCX_CHEB note).
     """
     u = jnp.asarray(u)
+    if u.dtype == jnp.float32:
+        t = (u - 2.0) / (u + 2.0)
+        g = _clenshaw(_ERFCX_CHEB, t)
+        return g / (1.0 + u * (2.0 / math.sqrt(math.pi)))
     # the clamp only protects the UNUSED branch (u ≥ 9 → asym); it must sit
     # above the crossover's u² = 81 or it corrupts direct values near 9
     direct = jnp.exp(jnp.minimum(u * u, 81.5)) * jsp.special.erfc(u)
@@ -201,16 +267,22 @@ def _int_K_matern_1d(x, h, w, mu, Sigma, sqrt2nu, poly):
         # error ~eps·α². Rewrite via the Mills ratio R(α) = Q/z:
         #   T1 = zs·σ·(1 − αR),      1 − αR  = Σ_{j≥1} (−1)^{j+1}(2j−1)!!/α^{2j}
         #   T2 = zs·σ²·((1+α²)R − α), … = Σ_{j≥1} (−1)^{j+1}(2j−1)!!·2j/α^{2j+1}
-        # — cancellation-free asymptotic series, used above a dtype-aware
-        # crossover where they beat the direct form's eps·α² (f64: α = 18,
-        # measured against mpmath; f32: α = 6, where eps_f32·α² ≈ 4e-6
-        # meets the 12-term truncation error ~8e-7 — with the f64 crossover
-        # the f32 direct assembly reached ~1e-5..1e-3 in the α 7–18 band).
-        # Below the crossover (including all α < 0, where both direct terms
-        # are positive) the direct assembly is the more accurate one.
+        # — cancellation-free asymptotic series above a crossover (f64:
+        # α = 18, measured against mpmath; truncation 6e-14 by α = 12).
+        # float64 keeps the direct assembly below the crossover (including
+        # all α < 0, where both direct terms are positive — accurate there).
+        # float32 (round 5): the direct form's eps·α² loss is not the only
+        # hazard — on TPU the erfc/exp libraries themselves carry 2–14e-6
+        # relative noise, which the direct assembly amplifies by ~α² over
+        # the WHOLE α ∈ [0, 6) band (measured: 2.4e-5 on the singles,
+        # → 12% on V[Z] after the Q − qᵀK⁻¹q cancellation). So f32 uses
+        # Chebyshev fits of the Mills complements F1 = 1 − αR and
+        # F2 = (1+α²)R − α directly (≤6e-7 rel on α ∈ [0, 12], library-
+        # free Clenshaw mul/adds — _F1_CHEB/_F2_CHEB), the series above 12,
+        # and the direct forms only at α < 0 (benign: no cancellation).
         T1_dir = delta * Qs + sigma * zs
         T2_dir = (sig2s + delta * delta) * Qs + sigma * delta * zs
-        xover = 18.0 if dtype == jnp.float64 else 6.0
+        xover = 18.0 if dtype == jnp.float64 else 12.0
         aa = jnp.maximum(alpha, xover)
         inv_a2 = 1.0 / (aa * aa)
         s1 = jnp.zeros_like(aa)
@@ -223,6 +295,14 @@ def _int_K_matern_1d(x, h, w, mu, Sigma, sqrt2nu, poly):
         big = alpha >= xover
         T1 = jnp.where(big, zs * sigma * s1, T1_dir)
         T2 = jnp.where(big, zs * sig2s * s2_, T2_dir)
+        if dtype == jnp.float32:
+            af = jnp.clip(alpha, 0.0, 12.0)
+            sfit = af / 6.0 - 1.0
+            F1 = _clenshaw(_F1_CHEB, sfit) / (1.0 + af * af)
+            F2 = 2.0 * _clenshaw(_F2_CHEB, sfit) / (2.0 + af * af * af)
+            mid = jnp.logical_and(alpha >= 0.0, alpha < xover)
+            T1 = jnp.where(mid, zs * sigma * F1, T1)
+            T2 = jnp.where(mid, zs * sig2s * F2, T2)
         T = (Qs, T1, T2)
         for n, p in enumerate(poly):
             acc = acc + p * (c ** n) * T[n]
