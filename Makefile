@@ -3,9 +3,18 @@
 
 PY ?= python
 
-.PHONY: test test-tpu bench bench-all dryrun example lint
+.PHONY: test test-all test-slow test-tpu bench bench-all dryrun example lint
 
+# Fast gate: everything except the property-fuzz / brute-force-oracle
+# sweeps (marked `slow`). Full coverage: `make test-all`, or the two halves
+# in parallel CI jobs (`make test` + `make test-slow`).
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-slow:
+	$(PY) -m pytest tests/ -q -m slow
+
+test-all:
 	$(PY) -m pytest tests/ -q
 
 test-tpu:

@@ -24,6 +24,12 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
+# Brute-force (nsc+1)-system solves per hypothetical point x per GH node:
+# minutes-scale. Deselected by CI's fast gate (`make test`); the slow job /
+# `make test-all` keep it. The cheap 1-D gaussian C++ oracle twin
+# (test_native.py) still runs in the fast gate.
+pytestmark = pytest.mark.slow
+
 from tpubq.models import acquire, bq as bqm  # noqa: E402
 from tpubq.utils.options import BQOptions  # noqa: E402
 

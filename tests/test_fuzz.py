@@ -19,6 +19,11 @@ import pytest
 from tpubq.models import acquire, bq as bqm
 from tpubq.utils.options import BQOptions
 
+# ~1.5-2 min/worst-case test (randomized sweeps, one compile per config):
+# the biggest single block of suite wall time. CI's fast gate deselects it
+# (`make test`); `make test-all` and the nightly/slow job keep full coverage.
+pytestmark = pytest.mark.slow
+
 # gaussian exercises the gaussian closed forms; 1-D matern the erfcx
 # closed form (integrals._int_K_matern_1d) + the exact mixture V[Z]
 # (integrals.int_*_matern, round 4); 2-D matern the Gamma-mixture

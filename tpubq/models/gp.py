@@ -92,11 +92,13 @@ def gp_fit(
     ``BQ._check_factorized``). In practice only non-finite inputs reach
     that state in f32.
 
-    K⁻¹ is computed unconditionally (the extra multi-RHS solve): it is
-    consumed by the f32 ESM hot path, the fused scorer, the incremental
-    bordering algebra (any dtype), and the ``GP.inv_Kxx`` facade — a
-    dtype-conditional cache would break the latter two on f64, and on CPU
-    (the f64 domain) the solve is microseconds.
+    K⁻¹ is computed unconditionally IN THE TRACE (its own solve, split
+    from alpha's): it is consumed by the f32 ESM hot path, the fused
+    scorer, the incremental bordering algebra (any dtype), and the
+    ``GP.inv_Kxx`` facade — a dtype-conditional cache would break the
+    latter two on f64. Because the solve is split, XLA dead-code
+    eliminates it on pipelines with no K⁻¹ consumer (marginalize's
+    Z-moment batch), so "unconditional" costs nothing there.
     """
     theta = jnp.asarray(theta, dtype=x.dtype)
     s = jnp.asarray(s, dtype=x.dtype)
@@ -112,9 +114,17 @@ def gp_fit(
         ok = jnp.all(jnp.isfinite(L))
     ym = jnp.where(mask, y, 0.0)
     eye = jnp.eye(x.shape[0], dtype=x.dtype)
-    sol = linalg.chol_solve(L, jnp.concatenate([ym[:, None], eye], axis=1))
-    alpha = sol[:, 0]
-    Kinv = sol[:, 1:]
+    # SPLIT solves, not one [y | I] multi-RHS solve (round 5): the values
+    # are identical (same factor, same triangular sweeps), but a fused
+    # solve welds alpha to K⁻¹ in one op, forcing every pipeline that only
+    # reads alpha to pay the n-RHS inverse too. Split, XLA dead-code
+    # eliminates the K⁻¹ solve wherever no consumer reads it — the
+    # marginalize pipeline (B × n-RHS solves dropped: Z moments read only
+    # L/alpha) and any Z-moment-only estimate path. Paths that do read
+    # Kinv (f32 ESM, incremental bordering, GP.inv_Kxx) pay one extra
+    # solve launch, measured in the noise at n ≤ 128.
+    alpha = linalg.chol_solve(L, ym)
+    Kinv = linalg.chol_solve(L, eye)
     # Conditioning collapse must fail loudly: poison alpha so every estimate
     # built on this factor is NaN (and record ok for wrappers to raise on).
     alpha = jnp.where(ok, alpha, jnp.nan)
