@@ -38,6 +38,11 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 def run_loop(dtype, mode, n_steps=40):
     """mode: 'ladder' | 'fixed4' (single rung at 1e-4)."""
     import jax
+
+    # The sandbox's site customization re-pins JAX_PLATFORMS to the TPU
+    # tunnel even when the env var says cpu (see tests/conftest.py) — and
+    # the tunneled compiler crashes on f64 programs. Pin via config too.
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import tpubq  # noqa: F401

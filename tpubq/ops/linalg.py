@@ -175,6 +175,86 @@ def _posdef_cholesky_vmap(axis_size, in_batched, A):
     return jnp.linalg.cholesky(A), True
 
 
+@jax.custom_batching.custom_vmap
+def _jitter_chol_f32(Kp0: jnp.ndarray, eye_live: jnp.ndarray, j0, j1):
+    """Two-rung f32 jitter Cholesky core → (L, jitter_used, ok).
+
+    ``Kp0`` is the padded Gram ALREADY at rung 0 (callers skip the rung-0
+    jitter add when ``base_jitter`` rounds away in f32 — a static choice);
+    ``j0``/``j1`` are the two rungs' ABSOLUTE jitters (j0 reported even
+    when its add was skipped, keeping GPState.jitter's contract).
+
+    Unbatched (the single-problem active-loop refit): factor rung 0, then
+    ``lax.cond`` into the 1e-4 refactorization ONLY when the rung-0
+    diagonal is non-finite. Round 2 measured any per-refit cond at ~90 µs
+    of pipeline stall and chose an unconditional 2-rung stack; re-measured
+    round 5 (benchmarks/loop_variants2.py, v5e, 40-step loop): the
+    cond-rescue step runs 80.2 µs vs the stack's 110.6 with bit-identical
+    trajectories — the stall is gone on the current compiler, so the
+    common case now pays ONE factorization.
+
+    Under ``vmap`` (fleet / marginalize): ``lax.cond`` would degrade to
+    executing BOTH branches per batch (select), as two sequential batched
+    rounds — exactly the 1.83× the rung-stack fold beat (PARITY (k)). The
+    batching rule therefore keeps the stacked form: one ``posdef_cholesky``
+    call on a (B, 2, n, n) stack (folded into a single batch-major Pallas
+    round on TPU) and pure data-flow selection.
+    """
+    L0 = jnp.linalg.cholesky(Kp0)
+    # Diagonal-only finiteness: any non-finite L[i,j] (j<i) forces diag i
+    # non-finite (its pivot subtracts L[i,j]², and inf²/NaN both poison
+    # the sqrt), so the (n,) diagonal detects every failure the full
+    # (n, n) reduce did at ~n× less data.
+    ok0 = jnp.all(jnp.isfinite(jnp.diagonal(L0)))
+
+    def keep(_):
+        return L0, j0, jnp.asarray(True)
+
+    def rescue(_):
+        L1 = jnp.linalg.cholesky(Kp0 + eye_live * (j1 - j0))
+        return L1, j1, jnp.all(jnp.isfinite(jnp.diagonal(L1)))
+
+    return jax.lax.cond(ok0, keep, rescue, None)
+
+
+@_jitter_chol_f32.def_vmap
+def _jitter_chol_f32_vmap(axis_size, in_batched, Kp0, eye_live, j0, j1):
+    kb, eb, j0b, j1b = in_batched
+    dtype = Kp0.dtype
+    n = Kp0.shape[-1]
+    # Broadcast unbatched operands up front so the stack algebra is uniform.
+    if not kb:
+        Kp0 = jnp.broadcast_to(Kp0, (axis_size,) + Kp0.shape)
+    if not eb:
+        eye_live = jnp.broadcast_to(eye_live, (axis_size,) + eye_live.shape)
+    j0 = jnp.broadcast_to(jnp.asarray(j0, dtype), (axis_size,))
+    j1 = jnp.broadcast_to(jnp.asarray(j1, dtype), (axis_size,))
+    # Rung STACK, not a rung loop: both jittered copies factor in ONE
+    # posdef_cholesky call on a (B, 2, n, n) stack — one batch-major Pallas
+    # round over 2B matrices instead of two sequential B-rounds (measured
+    # v5e, B=64 n=48: 21.3 µs vs 36.5 µs per refit round, bit-identical
+    # selection — benchmarks/rung_stack.py, PARITY addendum (k)).
+    K1 = Kp0 + eye_live * (j1 - j0)[:, None, None]
+    Ks = jnp.stack([Kp0, K1], axis=1)  # (B, 2, n, n)
+    # Fold the (B, 2) leading axes into one flat batch-major round — the
+    # same dispatch posdef_cholesky's own vmap rule applies (calling
+    # posdef_cholesky here would hit its PRIMAL on an already-batched
+    # array: XLA's serialized per-matrix custom calls).
+    flat = Ks.reshape(axis_size * 2, n, n)
+    Lf = _bm_flat(flat)
+    if Lf is None:
+        Lf = jnp.linalg.cholesky(flat)
+    Ls = Lf.reshape(Ks.shape)
+    dg = jnp.diagonal(Ls, axis1=-2, axis2=-1)  # (B, 2, n)
+    ok_r = jnp.all(jnp.isfinite(dg), axis=-1)  # (B, 2)
+    ok0, ok1 = ok_r[:, 0], ok_r[:, 1]
+    pick0 = ok0[:, None, None]
+    L = jnp.where(pick0, Ls[:, 0], Ls[:, 1])
+    jit_used = jnp.where(ok0, j0, j1)
+    ok = jnp.logical_or(ok0, ok1)
+    return (L, jit_used, ok), (True, True, True)
+
+
 def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0):
     """Masked Cholesky with an escalating jitter ladder.
 
@@ -184,20 +264,19 @@ def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0)
     bq_c.pyx::improve_covariance_conditioning. Not reverse-differentiable;
     use ``cholesky_fixed`` under ``jax.grad``.
 
-    Two implementations, dispatched on dtype (TPU latency measurement,
+    Two implementations, dispatched on dtype (TPU latency measurements,
     v5e active-loop refit at N=64, see PARITY.md):
 
     * float64 — ``lax.while_loop`` over the fine 7-rung ladder (CPU parity
       path; early exit costs nothing on CPU).
-    * float32 — the TPU hot path. Any per-step control flow (while_loop OR
-      cond) costs ~90 µs of pipeline stall per refit, dwarfing the 5 µs
-      factorization, so the ladder is *unrolled*: every effective rung is
-      factored unconditionally (~12 µs each, they overlap) and the first
-      finite factor is selected with data-flow ``where``s. Two rungs cover
-      f32 exactly — see ``JITTER_LADDER_F32``. This also fixes the vmapped
-      (fleet/marginalize) paths, where a vmapped ``while_loop`` runs in
-      batch lock-step: one escalating element forces a full extra batched
-      Cholesky round on everyone.
+    * float32 — the TPU hot path, via ``_jitter_chol_f32``: unbatched it
+      factors rung 0 and ``lax.cond``s into the 1e-4 rescue only on
+      failure (round-5 re-measurement: 80.2 vs 110.6 µs/step, identical
+      values); under vmap (fleet / marginalize) it keeps the round-4
+      unconditional (B, 2, n, n) rung stack with data-flow selection,
+      because a vmapped cond executes both branches as two sequential
+      batched rounds. Two rungs cover f32 exactly — see
+      ``JITTER_LADDER_F32``.
     """
     dtype = K.dtype
     scale = _diag_scale(K, mask)
@@ -205,32 +284,15 @@ def jitter_cholesky(K: jnp.ndarray, mask: jnp.ndarray, base_jitter: float = 0.0)
     eye_live = jnp.eye(K.shape[0], dtype=dtype) * mask.astype(dtype)
 
     if dtype == jnp.float32:
-        # Rung STACK, not a rung loop: both jittered copies factor in ONE
-        # posdef_cholesky call on a (2, n, n) stack, so under fleet /
-        # marginalize vmap the whole ladder costs one batch-major Pallas
-        # round over 2B matrices instead of two sequential B-rounds
-        # (measured v5e, B=64 n=48: 21.3 µs vs 36.5 µs per refit round,
-        # bit-identical selection — benchmarks/rung_stack.py, PARITY
-        # addendum (k)). Selection stays pure data flow.
-        js = [
-            (jnp.asarray(r, dtype) + jnp.asarray(base_jitter, dtype)) * scale
-            for r in JITTER_LADDER_F32
-        ]
-        Ks = jnp.stack([Kp + eye_live * j for j in js])
-        Ls = posdef_cholesky(Ks)
-        # Diagonal-only finiteness: any non-finite L[i,j] (j<i) forces
-        # diag i non-finite (its pivot subtracts L[i,j]², and inf²/NaN
-        # both poison the sqrt), so checking the (R, n) diagonal detects
-        # every failure the full (R, n, n) reduce did at ~n× less data.
-        dg = jnp.diagonal(Ls, axis1=-2, axis2=-1)
-        ok_r = jnp.all(jnp.isfinite(dg), axis=-1)  # (n_rungs,)
-        # finest finite rung wins (rung 0 is the finest)
-        L, jit_used, ok = Ls[-1], js[-1], ok_r[-1]
-        for i in range(len(js) - 2, -1, -1):
-            L = jnp.where(ok_r[i], Ls[i], L)
-            jit_used = jnp.where(ok_r[i], js[i], jit_used)
-            ok = jnp.logical_or(ok_r[i], ok)
-        return L, jit_used, ok
+        j0 = jnp.asarray(base_jitter, dtype) * scale
+        j1 = (jnp.asarray(JITTER_LADDER_F32[1], dtype)
+              + jnp.asarray(base_jitter, dtype)) * scale
+        # The rung-0 add is skipped when base_jitter rounds away against an
+        # f32 diagonal (any base below ~1e-8·diag is a numerical no-op —
+        # eps32 ≈ 1.2e-7); base_jitter is a static float, so this is a
+        # trace-time choice, and j0 is still REPORTED for the first rung.
+        Kp0 = Kp if base_jitter < 1e-8 else Kp + eye_live * j0
+        return _jitter_chol_f32(Kp0, eye_live, j0, j1)
 
     ladder = jnp.asarray(JITTER_LADDER, dtype=dtype) + jnp.asarray(base_jitter, dtype)
 
